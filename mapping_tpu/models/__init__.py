@@ -1,0 +1,8 @@
+"""Flax model zoo: U-Nets with ResNet/VGG encoders plus a parametric scratch
+U-Net, mirroring the reference's PRETRAINED_NETWORKS registry
+(reference: src/models.py:22-47, src/unet_models.py,
+src/steps/pytorch/architectures/unet.py)."""
+
+from mapping_tpu.models.registry import build_network, PRETRAINED_NETWORKS
+
+__all__ = ["build_network", "PRETRAINED_NETWORKS"]

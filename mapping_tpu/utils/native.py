@@ -1,0 +1,106 @@
+"""ctypes bindings to the C++ RLE kernels (cpp/rle.cpp).
+
+The numpy implementations in ops/rle.py are the reference/oracle; the C++
+path accelerates the per-annotation hot loops (string codec, RLE IoU) that
+pycocotools implemented in C for the same reason. Built lazily via
+`build()`; all callers fall back to numpy when unavailable.
+"""
+
+import ctypes
+import os
+import subprocess
+
+_LIB = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "cpp", "rle.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "librle.so")
+
+
+def build(force=False):
+    """Compile cpp/rle.cpp to a shared library. Returns True on success."""
+    global _LIB, _TRIED
+    if not os.path.exists(_SRC):
+        return False
+    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return False
+    _TRIED = False
+    _LIB = None
+    return _load() is not None
+
+
+def _load():
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.rle_counts_to_string.restype = ctypes.c_long
+    lib.rle_counts_to_string.argtypes = [
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_char_p]
+    lib.rle_string_to_counts.restype = ctypes.c_long
+    lib.rle_string_to_counts.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long)]
+    lib.rle_iou_single.restype = ctypes.c_double
+    lib.rle_iou_single.argtypes = [
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_int]
+    _LIB = lib
+    return _LIB
+
+
+def available():
+    return _load() is not None
+
+
+def counts_to_string(counts):
+    lib = _load()
+    counts = [int(c) for c in counts]
+    n = len(counts)
+    arr = (ctypes.c_long * n)(*counts)
+    buf = ctypes.create_string_buffer(n * 12 + 16)
+    m = lib.rle_counts_to_string(arr, n, buf)
+    return buf.raw[:m]
+
+
+def string_to_counts(s):
+    lib = _load()
+    n = len(s)
+    out = (ctypes.c_long * (n + 1))()
+    m = lib.rle_string_to_counts(s, n, out)
+    return [out[i] for i in range(m)]
+
+
+def rle_iou(dt_rles, gt_rles, iscrowd):
+    import numpy as np
+
+    lib = _load()
+    nd, ng = len(dt_rles), len(gt_rles)
+    out = np.zeros((nd, ng))
+    if nd == 0 or ng == 0:
+        return out
+
+    def counts_of(r):
+        c = r["counts"]
+        if isinstance(c, (bytes, str)):
+            c = string_to_counts(c.encode("ascii") if isinstance(c, str) else c)
+        return (ctypes.c_long * len(c))(*[int(x) for x in c]), len(c)
+
+    dts = [counts_of(r) for r in dt_rles]
+    gts = [counts_of(r) for r in gt_rles]
+    for i, (dc, dn) in enumerate(dts):
+        for j, (gc, gn) in enumerate(gts):
+            out[i, j] = lib.rle_iou_single(dc, dn, gc, gn, int(bool(iscrowd[j])))
+    return out
