@@ -4,5 +4,19 @@ U-Net, mirroring the reference's PRETRAINED_NETWORKS registry
 src/steps/pytorch/architectures/unet.py)."""
 
 from mapping_tpu.models.registry import build_network, PRETRAINED_NETWORKS
+from mapping_tpu.models.resnet import ResNetEncoder
+from mapping_tpu.models.unet_resnet import UNetResNet, AlbuNet
+from mapping_tpu.models.vgg import UNet11, UNetVGG16
+from mapping_tpu.models.scratch import UNet, UNetMultitask
 
-__all__ = ["build_network", "PRETRAINED_NETWORKS"]
+__all__ = [
+    "build_network",
+    "PRETRAINED_NETWORKS",
+    "ResNetEncoder",
+    "UNetResNet",
+    "AlbuNet",
+    "UNet11",
+    "UNetVGG16",
+    "UNet",
+    "UNetMultitask",
+]

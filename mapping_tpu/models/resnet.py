@@ -6,12 +6,13 @@ native Flax module that returns all five stage outputs; the layout is NHWC
 and compute dtype is configurable (bfloat16 by default on TPU) so convs land
 on the MXU with f32 accumulation.
 
-Parameter naming matches torchvision module paths (conv1, bn1, layer1.0.conv1,
-...) so a converted torchvision state_dict maps one-to-one
-(models/torch_convert.py).
+Parameter naming matches torchvision module paths (conv1, bn1,
+layer1_0/conv1, ...) so a converted torchvision state_dict maps one-to-one
+(models/torch_convert.py). Conv+BN live in the *same* scope level as torch
+(no extra submodule nesting) to keep that mapping mechanical.
 """
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -19,36 +20,28 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-class ConvBN(nn.Module):
-    """Conv -> BatchNorm, the fused building block of every ResNet stage."""
-
-    features: int
-    kernel: int
-    stride: int = 1
-    dtype: Dtype = jnp.bfloat16
-    name_conv: str = "conv"
-    name_bn: str = "bn"
-
-    @nn.compact
-    def __call__(self, x, train: bool):
-        pad = self.kernel // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
-            use_bias=False,
-            dtype=self.dtype,
-            name=self.name_conv,
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name=self.name_bn,
-        )(x)
-        return x
+def conv_bn(mdl, x, features, kernel, stride, dtype, conv_name, bn_name, train):
+    """Conv -> BatchNorm in the caller's scope (names match torchvision)."""
+    pad = kernel // 2
+    x = nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
+        use_bias=False,
+        dtype=dtype,
+        name=conv_name,
+        parent=mdl,
+    )(x)
+    x = nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=jnp.float32,
+        name=bn_name,
+        parent=mdl,
+    )(x)
+    return x
 
 
 class BasicBlock(nn.Module):
@@ -60,14 +53,15 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = ConvBN(self.features, 3, self.stride, self.dtype,
-                     name_conv="conv1", name_bn="bn1")(x, train)
+        out = conv_bn(self, x, self.features, 3, self.stride, self.dtype,
+                      "conv1", "bn1", train)
         out = nn.relu(out)
-        out = ConvBN(self.features, 3, 1, self.dtype,
-                     name_conv="conv2", name_bn="bn2")(out, train)
+        out = conv_bn(self, out, self.features, 3, 1, self.dtype,
+                      "conv2", "bn2", train)
         if self.downsample:
-            identity = ConvBN(self.features, 1, self.stride, self.dtype,
-                              name_conv="downsample_conv", name_bn="downsample_bn")(x, train)
+            identity = conv_bn(self, x, self.features, 1, self.stride,
+                               self.dtype, "downsample_conv", "downsample_bn",
+                               train)
         return nn.relu(out + identity)
 
 
@@ -82,17 +76,18 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        out = ConvBN(self.features, 1, 1, self.dtype,
-                     name_conv="conv1", name_bn="bn1")(x, train)
+        out = conv_bn(self, x, self.features, 1, 1, self.dtype,
+                      "conv1", "bn1", train)
         out = nn.relu(out)
-        out = ConvBN(self.features, 3, self.stride, self.dtype,
-                     name_conv="conv2", name_bn="bn2")(out, train)
+        out = conv_bn(self, out, self.features, 3, self.stride, self.dtype,
+                      "conv2", "bn2", train)
         out = nn.relu(out)
-        out = ConvBN(self.features * 4, 1, 1, self.dtype,
-                     name_conv="conv3", name_bn="bn3")(out, train)
+        out = conv_bn(self, out, self.features * 4, 1, 1, self.dtype,
+                      "conv3", "bn3", train)
         if self.downsample:
-            identity = ConvBN(self.features * 4, 1, self.stride, self.dtype,
-                              name_conv="downsample_conv", name_bn="downsample_bn")(x, train)
+            identity = conv_bn(self, x, self.features * 4, 1, self.stride,
+                               self.dtype, "downsample_conv", "downsample_bn",
+                               train)
         return nn.relu(out + identity)
 
 
@@ -121,7 +116,7 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls, layers, _ = _CONFIGS[self.depth]
-        x = ConvBN(64, 7, 2, self.dtype, name_conv="conv1", name_bn="bn1")(x, train)
+        x = conv_bn(self, x, 64, 7, 2, self.dtype, "conv1", "bn1", train)
         x = nn.relu(x)
         # The reference's UNet stem swaps torchvision's 3x3 maxpool for a
         # plain 2x2/2 pool (src/unet_models.py:356-363); same H/4 output.
