@@ -1,11 +1,20 @@
 # Root conftest: make `mapping_tpu` importable and force tests onto a virtual
 # 8-device CPU mesh (the TPU-world analog of a fake backend; see SURVEY.md §4).
-# Must run before jax is imported anywhere.
+#
+# The sandbox preloads jax (sitecustomize pulls in the axon TPU plugin), so
+# env vars alone are read too early to help; update jax.config directly —
+# backends have not initialized yet at conftest import time, so this wins as
+# long as no test-session code touched jax.devices() first.
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

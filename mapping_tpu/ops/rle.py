@@ -218,22 +218,24 @@ def iou_boxes(dt_boxes, gt_boxes, iscrowd):
 def from_polygons(polygons, h, w):
     """List of flat [x0, y0, x1, y1, ...] polygons -> list of RLE dicts.
 
-    pycocotools rasterizes by tracing the boundary at 5x upsampling; we use
-    cv2.fillPoly on a 5x grid then decimate, which reproduces its even-odd
-    boundary handling to within a sub-pixel boundary ring. AP at IoU=0.5 on
-    300x300 tiles is insensitive to this ring (validated in tests against
-    dense rasterization).
+    pycocotools rasterizes by tracing the boundary at 5x upsampling; we
+    rasterize (PIL even-odd polygon fill) on a 5x grid then sample the cell
+    centers, which reproduces its boundary handling to within a sub-pixel
+    ring. AP at IoU=0.5 on 300x300 tiles is insensitive to this ring.
     """
-    import cv2
+    from PIL import Image, ImageDraw
 
     rles = []
     for poly in polygons:
         pts = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
-        scaled = np.round(pts * 5.0 + 2.0).astype(np.int64)
-        canvas = np.zeros((h * 5, w * 5), dtype=np.uint8)
-        cv2.fillPoly(canvas, [scaled.astype(np.int32)], 1)
+        scaled = pts * 5.0 + 2.0
+        img = Image.new("1", (w * 5, h * 5), 0)
+        ImageDraw.Draw(img).polygon(
+            [tuple(p) for p in scaled], outline=1, fill=1
+        )
+        canvas = np.asarray(img, dtype=np.uint8)
         mask = canvas.reshape(h, 5, w, 5)[:, 2, :, 2]
-        rles.append(encode(mask.astype(np.uint8)))
+        rles.append(encode(mask))
     return rles
 
 

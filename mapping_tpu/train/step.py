@@ -1,0 +1,97 @@
+"""Jitted train / eval / predict steps.
+
+The reference's hot loop is host-driven: H2D copy, forward, loss, backward,
+Adam step, loss D2H per batch (src/steps/pytorch/models.py:76-113). Here each
+of those is one compiled XLA program; with a mesh, the batch is sharded over
+'data' and XLA reduces gradients over ICI (SURVEY.md §2g). Only the scalar
+metrics dict leaves the device.
+"""
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mapping_tpu.parallel.mesh import shard_batch, shard_pytree_replicated
+
+
+def make_train_step(loss_fn: Callable, has_batch_stats: bool = True):
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    batch: {'image': (N, H, W, 3) f32, 'target': (N, H, W, 1+K)}.
+    loss_fn(logits, target) -> scalar.
+    """
+
+    @jax.jit
+    def train_step(state, batch):
+        dropout_rng = state.next_dropout_rng()
+
+        def compute_loss(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                logits, new_model_state = state.apply_fn(
+                    variables,
+                    batch["image"],
+                    train=True,
+                    rngs={"dropout": dropout_rng},
+                    mutable=["batch_stats"],
+                )
+            else:
+                logits = state.apply_fn(
+                    variables, batch["image"], train=True,
+                    rngs={"dropout": dropout_rng},
+                )
+                new_model_state = {}
+            loss = loss_fn(logits, batch["target"])
+            return loss, new_model_state
+
+        (loss, new_model_state), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads=grads)
+        if has_batch_stats:
+            state = state.replace(batch_stats=new_model_state["batch_stats"])
+        return state, {"loss": loss}
+
+    return train_step
+
+
+def make_eval_step(loss_fn: Callable):
+    """Returns jitted (state, batch) -> scalar validation loss (the
+    reference's score_model, src/steps/pytorch/validation.py:51-84)."""
+
+    @jax.jit
+    def eval_step(state, batch):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = state.apply_fn(variables, batch["image"], train=False)
+        return loss_fn(logits, batch["target"])
+
+    return eval_step
+
+
+def make_predict_step(apply_fn: Optional[Callable] = None):
+    """Returns jitted (state, images) -> class probabilities (N, H, W, C).
+
+    The reference computes softmax on host numpy after D2H
+    (src/models.py:88-92); here it fuses into the forward program.
+    """
+
+    @jax.jit
+    def predict_step(state, images):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        fn = apply_fn or state.apply_fn
+        logits = fn(variables, images, train=False)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return predict_step
+
+
+def place_for_mesh(state, batch, mesh):
+    """Replicate state, shard batch over 'data' — jit then compiles the step
+    as one SPMD program over the mesh."""
+    return (
+        shard_pytree_replicated(state, mesh),
+        shard_batch(batch, mesh),
+    )
