@@ -1,0 +1,277 @@
+"""Batch loaders: host decode -> one jitted on-device preprocess per mode.
+
+Replaces the reference's DataLoader(num_workers=4) fork-per-worker pipeline
+(src/loaders.py:176-304) where PIL/imgaug ran per item on host. Here host
+threads only read+decode files into uint8/float32 numpy; augmentation,
+resize, crop/pad and ImageNet normalization are one jitted program applied to
+the whole batch on device (mapping_tpu.data.augment).
+
+Loader modes mirror the reference registry:
+ - 'resize'       -> MetadataImageSegmentationLoader[Distances]Resize
+                     (src/loaders.py:246-260,291-304)
+ - 'crop_and_pad' -> ...CropPad (train random crop, inference replicate pad,
+                     src/loaders.py:225-243,266-284)
+Target convention: (B, H, W, 3) float32 [mask, distance, sqrt(size)] — the
+loader sqrt's the size matrix exactly like the reference dataset
+(src/loaders.py:152-153).
+"""
+
+import os
+import queue
+import threading
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_tpu.data import augment as A
+
+
+# ---------------------------------------------------------------------------
+# host decode
+# ---------------------------------------------------------------------------
+
+def load_image(path) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def load_target(mask_path) -> np.ndarray:
+    """mask png + joblib distance/size artifacts -> (H, W, 3) float32.
+
+    Path rewrite /masks/ -> /distances/ -> /sizes/ follows the reference
+    dataset contract (src/loaders.py:140-150).
+    """
+    import joblib
+    from PIL import Image
+
+    with Image.open(mask_path) as m:
+        mask = np.asarray(m.convert("L"), dtype=np.float32)
+    distance_path = os.path.splitext(mask_path.replace("/masks/", "/distances/"))[0]
+    size_path = distance_path.replace("/distances/", "/sizes/")
+    if os.path.exists(distance_path):
+        dist = np.asarray(joblib.load(distance_path), dtype=np.float32)
+    else:
+        dist = np.zeros_like(mask)
+    if os.path.exists(size_path):
+        sizes = np.sqrt(np.asarray(joblib.load(size_path), dtype=np.float32))
+    else:
+        sizes = np.ones_like(mask)
+    return np.stack([mask, dist, sizes], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# device-side batch transforms (one jit per mode)
+# ---------------------------------------------------------------------------
+
+def _resize_target(target, size):
+    near = A.resize_nearest(target[..., (0, 2)], size)
+    lin = A.resize_bilinear(target[..., 1:2], size)
+    return jnp.concatenate([near[..., :1], lin, near[..., 1:]], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("size", "augment"))
+def _train_batch_resize(rng, image_u8, target, size, augment=True):
+    img = image_u8.astype(jnp.float32) / 255.0
+    if augment:
+        img, target = A.fast_augment(rng, img, target)
+    img = A.resize_bilinear(img, size)
+    target = _resize_target(target, size)
+    return {"image": (img - A._MEAN) / A._STD, "target": target}
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _eval_batch_resize(image_u8, target, size):
+    img = A.resize_bilinear(image_u8.astype(jnp.float32) / 255.0, size)
+    out = {"image": (img - A._MEAN) / A._STD}
+    if target is not None:
+        out["target"] = _resize_target(target, size)
+    return out
+
+
+@partial(jax.jit, static_argnames=("size",))
+def _infer_batch_resize(image_u8, size):
+    img = A.resize_bilinear(image_u8.astype(jnp.float32) / 255.0, size)
+    return {"image": (img - A._MEAN) / A._STD}
+
+
+@partial(jax.jit, static_argnames=("size", "augment"))
+def _train_batch_crop(rng, image_u8, target, size, augment=True):
+    img = image_u8.astype(jnp.float32) / 255.0
+    if augment:
+        k1, k2 = jax.random.split(rng)
+        img, target = A.fast_augment(k1, img, target)
+        img, target = A.random_crop(k2, img, target, size)
+    else:
+        img = A.center_crop(img, size)
+        target = A.center_crop(target, size)
+    return {"image": (img - A._MEAN) / A._STD, "target": target}
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def _infer_batch_pad(image_u8, pad):
+    img = A.pad_replicate(image_u8.astype(jnp.float32) / 255.0, pad)
+    return {"image": (img - A._MEAN) / A._STD}
+
+
+# ---------------------------------------------------------------------------
+# batch iteration with background decode
+# ---------------------------------------------------------------------------
+
+class _Prefetcher:
+    """Decode next host batch on a worker thread while device crunches."""
+
+    def __init__(self, make_batch, n_batches, depth=2):
+        self.q = queue.Queue(maxsize=depth)
+        self.n = n_batches
+
+        def run():
+            try:
+                for i in range(n_batches):
+                    self.q.put(("ok", make_batch(i)))
+            except Exception as e:  # surface decode errors to the consumer
+                self.q.put(("err", e))
+
+        self.thread = threading.Thread(target=run, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        for _ in range(self.n):
+            kind, item = self.q.get()
+            if kind == "err":
+                raise item
+            yield item
+
+
+class SegmentationLoader:
+    """Produces {'datagen': (iterable, steps), 'validation_datagen': ...}
+    like the reference loader transformers (src/loaders.py:192-204), but each
+    yielded batch is already on device, augmented and normalized."""
+
+    def __init__(
+        self,
+        mode: str = "resize",
+        size: Tuple[int, int] = (256, 256),
+        pad: Tuple[int, int] = (10, 10),
+        batch_size_train: int = 20,
+        batch_size_inference: int = 20,
+        seed: int = 1234,
+        augment: bool = True,
+    ):
+        if mode not in ("resize", "crop_and_pad"):
+            raise ValueError(f"unknown loader mode {mode!r}")
+        self.mode = mode
+        self.size = tuple(size)
+        self.pad = tuple(pad)
+        self.batch_size_train = batch_size_train
+        self.batch_size_inference = batch_size_inference
+        self.augment = augment
+        self._rng = jax.random.PRNGKey(seed)
+        self._np_rng = np.random.RandomState(seed)
+
+    # -- host batch assembly -------------------------------------------------
+    def _assemble(self, image_paths, target_paths, idxs):
+        images = [load_image(p) for p in np.asarray(image_paths)[idxs]]
+        shapes = {im.shape for im in images}
+        if len(shapes) > 1:
+            # heterogeneous sizes: host-resize to the device target size
+            from PIL import Image
+
+            size = self.size[::-1]
+            images = [
+                np.asarray(Image.fromarray(im).resize(size, Image.BILINEAR))
+                for im in images
+            ]
+        image_b = np.stack(images)
+        if target_paths is None:
+            return image_b, None
+        targets = [load_target(p) for p in np.asarray(target_paths)[idxs]]
+        return image_b, np.stack(targets).astype(np.float32)
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    # -- datagen construction ------------------------------------------------
+    # Datagens are re-iterable (one pass per epoch, reshuffled), matching the
+    # reference's repeated DataLoader iteration in Model.fit
+    # (src/steps/pytorch/models.py:57-66).
+    def _train_gen(self, X, y):
+        n = len(X)
+        bs = self.batch_size_train
+        steps = -(-n // bs)
+        loader = self
+
+        class TrainFlow:
+            def __iter__(self):
+                order = loader._np_rng.permutation(n)
+
+                def make_batch(i):
+                    return loader._assemble(X, y, order[i * bs:(i + 1) * bs])
+
+                for image_b, target_b in _Prefetcher(make_batch, steps):
+                    rng = loader._next_rng()
+                    if loader.mode == "resize":
+                        yield _train_batch_resize(
+                            rng, jnp.asarray(image_b), jnp.asarray(target_b),
+                            loader.size, loader.augment)
+                    else:
+                        yield _train_batch_crop(
+                            rng, jnp.asarray(image_b), jnp.asarray(target_b),
+                            loader.size, loader.augment)
+
+            def __len__(self):
+                return steps
+
+        return TrainFlow(), steps
+
+    def _eval_gen(self, X, y):
+        n = len(X)
+        bs = self.batch_size_inference
+        steps = -(-n // bs)
+        loader = self
+
+        class EvalFlow:
+            def __iter__(self):
+                def make_batch(i):
+                    idxs = np.arange(i * bs, min((i + 1) * bs, n))
+                    return loader._assemble(X, y, idxs)
+
+                for image_b, target_b in _Prefetcher(make_batch, steps):
+                    if loader.mode == "resize":
+                        if target_b is None:
+                            yield _infer_batch_resize(jnp.asarray(image_b),
+                                                      loader.size)
+                        else:
+                            yield _eval_batch_resize(
+                                jnp.asarray(image_b), jnp.asarray(target_b),
+                                loader.size)
+                    else:
+                        out = _infer_batch_pad(jnp.asarray(image_b), loader.pad)
+                        if target_b is not None:
+                            out = dict(out)
+                            out["target"] = jnp.asarray(A.pad_replicate(
+                                jnp.asarray(target_b), loader.pad))
+                        yield out
+
+            def __len__(self):
+                return steps
+
+        return EvalFlow(), steps
+
+    def transform(self, X, y=None, X_valid=None, y_valid=None,
+                  train_mode=True, **kwargs):
+        if train_mode and y is not None:
+            flow, steps = self._train_gen(X, y)
+        else:
+            flow, steps = self._eval_gen(X, y if not train_mode else None)
+        if X_valid is not None and y_valid is not None:
+            valid_flow, valid_steps = self._eval_gen(X_valid, y_valid)
+        else:
+            valid_flow, valid_steps = None, None
+        return {"datagen": (flow, steps),
+                "validation_datagen": (valid_flow, valid_steps)}

@@ -1,0 +1,135 @@
+"""Test-time augmentation, fused on device.
+
+Parity target: the reference's TTA generator/aggregator trio
+(src/loaders.py:401-517): each image expands into flip x rotation (x optional
+color-shift) variants, the network runs on all of them, and predictions are
+inverse-transformed and aggregated with mean/max/min/gmean.
+
+The reference generates the variant list with `ud elif lr` application
+semantics (src/loaders.py:485-517), so with flips+rotations enabled it emits
+16 specs of which the (ud=True, lr=True) ones duplicate (ud=True, lr=False) —
+we reproduce the same 16-variant list so aggregation weighting matches.
+
+TPU design: variants are pure flips/rot90s (exact, no interpolation), built
+and aggregated inside one jitted program; the reference's per-channel skimage
+rotate over a ThreadPool (src/loaders.py:458-517) disappears into the
+inference graph.
+"""
+
+from itertools import product
+from typing import List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mapping_tpu.data.augment import color_shift
+
+
+class TTASpec(NamedTuple):
+    ud_flip: bool
+    lr_flip: bool
+    rotation: int  # degrees CCW, multiple of 90
+    color_shift: int  # 0 = off, k>0 = k-th random color run
+
+
+def tta_specs(flip_ud=True, flip_lr=True, rotation=True,
+              color_shift_runs=0) -> List[TTASpec]:
+    """Variant list in the reference's generation order
+    (src/loaders.py:417-435)."""
+    specs = [TTASpec(False, False, 0, 0)]
+    ud_options = [True, False] if flip_ud else [False]
+    lr_options = [True, False] if flip_lr else [False]
+    rot_options = [0, 90, 180, 270] if rotation else [0]
+    color_options = (list(range(1, color_shift_runs + 1))
+                     if color_shift_runs else [0])
+    for ud, lr, rot, color in product(ud_options, lr_options, rot_options,
+                                      color_options):
+        if not ud and not lr and rot == 0 and not color:
+            continue
+        specs.append(TTASpec(ud, lr, rot, color))
+    return specs
+
+
+def _forward_one(image, spec: TTASpec, rng=None):
+    """(H, W, C): flip (ud elif lr elif color) then rotate CCW — the
+    reference's forward order (src/loaders.py:477-486)."""
+    if spec.ud_flip:
+        image = image[::-1]
+    elif spec.lr_flip:
+        image = image[:, ::-1]
+    elif spec.color_shift:
+        key = jax.random.fold_in(rng, spec.color_shift)
+        image = color_shift(key, image.astype(jnp.float32))
+    return jnp.rot90(image, spec.rotation // 90, axes=(0, 1))
+
+
+def _inverse_one(pred, spec: TTASpec):
+    """(H, W, C) prediction: rotate back then un-flip
+    (src/loaders.py:489-496)."""
+    pred = jnp.rot90(pred, -(spec.rotation // 90), axes=(0, 1))
+    if spec.ud_flip:
+        pred = pred[::-1]
+    elif spec.lr_flip:
+        pred = pred[:, ::-1]
+    return pred
+
+
+def expand_batch(images, specs: Sequence[TTASpec], rng=None):
+    """(B, H, W, C) -> (B, V, H, W, C) forward TTA variants.
+
+    Square images only for rotations (H == W), as in the 300x300 tiles.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    variants = [
+        jax.vmap(lambda im, s=spec: _forward_one(im, s, rng))(images)
+        for spec in specs
+    ]
+    return jnp.stack(variants, axis=1)
+
+
+def inverse_batch(preds, specs: Sequence[TTASpec]):
+    """(B, V, H, W, C) predictions -> inverse-transformed, same shape."""
+    outs = [
+        jax.vmap(lambda p, s=spec: _inverse_one(p, s))(preds[:, i])
+        for i, spec in enumerate(specs)
+    ]
+    return jnp.stack(outs, axis=1)
+
+
+def aggregate(preds, method: str = "gmean", axis: int = 1):
+    """Aggregate the variants axis (reference agg_method registry,
+    src/loaders.py:443-450)."""
+    if method == "mean":
+        return jnp.mean(preds, axis=axis)
+    if method == "max":
+        return jnp.max(preds, axis=axis)
+    if method == "min":
+        return jnp.min(preds, axis=axis)
+    if method == "gmean":
+        eps = 1e-12
+        return jnp.exp(jnp.mean(jnp.log(jnp.maximum(preds, eps)), axis=axis))
+    raise KeyError(f"unknown aggregation method {method!r}")
+
+
+def tta_wrap_predict(predict_probs, specs: Sequence[TTASpec],
+                     method: str = "gmean"):
+    """Wrap a (images -> probs) function with fused TTA.
+
+    predict_probs: (N, H, W, 3-ish) -> (N, H, W, C), typically the jitted
+    forward+softmax. Returns a function (B, H, W, C_in) -> aggregated
+    (B, H, W, C) probabilities; the whole expand/forward/inverse/aggregate
+    chain stays on device.
+    """
+    v = len(specs)
+
+    def run(images, rng=None):
+        b = images.shape[0]
+        expanded = expand_batch(images, specs, rng)
+        flat = expanded.reshape((b * v,) + expanded.shape[2:])
+        probs = predict_probs(flat)
+        probs = probs.reshape((b, v) + probs.shape[1:])
+        probs = inverse_batch(probs, specs)
+        return aggregate(probs, method)
+
+    return run
