@@ -1,0 +1,14 @@
+"""Fused inference: forward -> softmax -> (TTA) -> resize -> threshold ->
+morphology -> CCL -> per-instance scores, one jitted program; only compact
+RLE bytes leave the device (SURVEY.md §7 phase 6).
+"""
+
+from mapping_tpu.infer.postprocess import fused_postprocess, postprocess_probabilities
+from mapping_tpu.infer.annotations import create_annotations, labeled_to_annotations
+
+__all__ = [
+    "fused_postprocess",
+    "postprocess_probabilities",
+    "create_annotations",
+    "labeled_to_annotations",
+]

@@ -1,0 +1,70 @@
+"""Labeled instance maps -> COCO result annotations.
+
+Parity target: create_annotations (reference src/utils.py:76-118): decompose
+each threshold layer into binary instance masks, Fortran-order RLE encode
+(UTF-8 counts), derive bbox from the RLE, attach the per-instance score, and
+map the layer index to its emitting category via
+searchsorted(cumsum(category_layers)) — category_ids[c] = None layers are
+skipped (the background channel).
+
+The per-instance extraction runs on compact numpy label maps (already
+computed on device by infer.postprocess); RLE encoding uses the C++ fast
+path when built (cpp/rle.cpp).
+"""
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from mapping_tpu.ops import rle as rle_ops
+
+
+def labeled_to_annotations(
+    image_id: int,
+    labels: np.ndarray,
+    scores: np.ndarray,
+    category_ids: Sequence[Optional[int]],
+    category_layers: Sequence[int],
+) -> List[dict]:
+    """labels (L, H, W) int32, scores (L, max_instances) -> result dicts."""
+    annotations = []
+    layer_to_cat = np.searchsorted(
+        np.cumsum(category_layers), np.arange(labels.shape[0]), side="right")
+    for layer_nr in range(labels.shape[0]):
+        category_id = category_ids[layer_to_cat[layer_nr]]
+        if category_id is None:
+            continue
+        layer = labels[layer_nr]
+        # scores are padded to max_instances on device; clamp (an image with
+        # more instances than the pad keeps only the first max_instances)
+        n_instances = min(int(layer.max()), scores.shape[1])
+        for label_nr in range(1, n_instances + 1):
+            mask = (layer == label_nr).astype(np.uint8)
+            rle = rle_ops.encode(mask)
+            annotations.append({
+                "image_id": int(image_id),
+                "category_id": int(category_id),
+                "score": float(scores[layer_nr, label_nr - 1]),
+                "segmentation": {
+                    "size": rle["size"],
+                    "counts": rle["counts"].decode("utf-8"),
+                },
+                "bbox": rle_ops.to_bbox(rle),
+            })
+    return annotations
+
+
+def create_annotations(
+    image_ids: Sequence[int],
+    labels_batch: np.ndarray,
+    scores_batch: np.ndarray,
+    category_ids: Sequence[Optional[int]],
+    category_layers: Sequence[int],
+) -> List[dict]:
+    """Batch driver: (B, L, H, W) labels + (B, L, N) scores -> annotations."""
+    annotations = []
+    for image_id, labels, scores in zip(image_ids, labels_batch, scores_batch):
+        annotations.extend(labeled_to_annotations(
+            image_id, np.asarray(labels), np.asarray(scores),
+            category_ids, category_layers))
+    return annotations

@@ -1,0 +1,118 @@
+"""Mask postprocessing fused into one jitted device program.
+
+Reference chain (src/pipelines.py:248-304, src/postprocessing.py): per image
+on host — resize C×H×W probabilities to 300×300 (:48-61), threshold each
+category channel per CATEGORY_LAYERS (:77-84), erode + restore dropped
+objects (:135-156), connected-component label per layer (:127-132), dilate
+(:159-180), then score every instance as mean masked probability × sqrt(area)
+(:228-236). Here the whole chain is a single XLA program over the batch:
+CCL is the label-propagation kernel (ops/ccl.py), morphology is
+lax.reduce_window, per-instance reductions are segment-sums over a fixed
+MAX_INSTANCES padding (the jit-friendly answer to dynamic instance counts).
+"""
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_tpu.ops.ccl import connected_components
+from mapping_tpu.ops.instance import instance_areas, instance_prob_sums
+from mapping_tpu.ops.morphology import dilate, erode
+
+MAX_INSTANCES = 256
+
+
+def layer_thresholds(category_layers: Sequence[int]):
+    """Per-layer (threshold, category_channel) list: n layers per category
+    with thresholds arange(step, 1, step), step = 1/(n+1)
+    (reference categorize_multilayer_image, src/postprocessing.py:77-84)."""
+    out = []
+    for cat_ch, n_layers in enumerate(category_layers):
+        step = 1.0 / (n_layers + 1)
+        for t in np.arange(step, 1.0 - 1e-9, step):
+            out.append((float(t), cat_ch))
+    return out
+
+
+def _restore_erased(binary, eroded):
+    """add_dropped_objects (src/utils.py:333-339): components of `binary`
+    with no surviving pixel after erosion come back un-eroded."""
+    labels = connected_components(binary)
+    n = MAX_INSTANCES
+    survived = jax.vmap(
+        lambda lab, ero: instance_prob_sums(lab, ero.astype(jnp.float32), n)
+    )(labels.reshape((-1,) + labels.shape[-2:]),
+      eroded.reshape((-1,) + eroded.shape[-2:]))
+    survived = survived.reshape(labels.shape[:-2] + (n + 1,))
+    # per-pixel: does my component survive?
+    alive = jnp.take_along_axis(
+        survived.reshape((-1, n + 1)),
+        labels.reshape((-1, labels.shape[-2] * labels.shape[-1])).astype(jnp.int32),
+        axis=1,
+    ).reshape(labels.shape) > 0
+    return jnp.where(binary & ~alive, True, eroded)
+
+
+@partial(jax.jit, static_argnames=("target_size", "category_layers",
+                                   "erode_size", "dilate_size",
+                                   "max_instances"))
+def fused_postprocess(
+    probs,
+    target_size: Tuple[int, int] = (300, 300),
+    category_layers: Tuple[int, ...] = (1, 1),
+    erode_size: int = 0,
+    dilate_size: int = 0,
+    max_instances: int = MAX_INSTANCES,
+):
+    """probs (B, H, W, C) float -> labels (B, L, th, tw) int32,
+    scores (B, L, max_instances) f32, areas (B, L, max_instances) i32.
+
+    L = sum(category_layers); layer l uses its category's prob channel for
+    scoring (searchsorted mapping, reference src/postprocessing.py:274-283).
+    """
+    b = probs.shape[0]
+    th, tw = target_size
+    probs_r = jax.image.resize(
+        probs.astype(jnp.float32),
+        (b, th, tw, probs.shape[-1]), "linear")
+
+    specs = layer_thresholds(category_layers)
+    binary = jnp.stack(
+        [probs_r[..., ch] > t for (t, ch) in specs], axis=1)  # (B, L, th, tw)
+
+    if erode_size > 0:
+        eroded = erode(binary.astype(jnp.uint8), erode_size).astype(bool)
+        binary = _restore_erased(binary, eroded)
+
+    labels = connected_components(binary)  # (B, L, th, tw)
+
+    if dilate_size > 0:
+        # reference dilates the *labeled* image (grayscale max dilation,
+        # src/postprocessing.py:159-180)
+        labels = dilate(labels, dilate_size)
+
+    layer_probs = jnp.stack([probs_r[..., ch] for (_, ch) in specs], axis=1)
+    flat_labels = labels.reshape((-1, th, tw))
+    flat_probs = layer_probs.reshape((-1, th, tw))
+    areas = jax.vmap(lambda l: instance_areas(l, max_instances))(flat_labels)
+    sums = jax.vmap(
+        lambda l, p: instance_prob_sums(l, p, max_instances)
+    )(flat_labels, flat_probs)
+    areas_i = areas[:, 1:]
+    sums_i = sums[:, 1:]
+    safe = jnp.maximum(areas_i, 1).astype(jnp.float32)
+    scores = (sums_i / safe) * jnp.sqrt(areas_i.astype(jnp.float32))
+    scores = jnp.where(areas_i > 0, scores, 0.0)
+    L = len(specs)
+    return (labels,
+            scores.reshape(b, L, max_instances),
+            areas_i.reshape(b, L, max_instances))
+
+
+def postprocess_probabilities(probs, **kwargs):
+    """Convenience host wrapper returning numpy outputs."""
+    labels, scores, areas = fused_postprocess(jnp.asarray(probs), **kwargs)
+    return np.asarray(labels), np.asarray(scores), np.asarray(areas)
