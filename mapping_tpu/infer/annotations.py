@@ -22,11 +22,12 @@ from mapping_tpu.ops import rle as rle_ops
 def labeled_to_annotations(
     image_id: int,
     labels: np.ndarray,
-    scores: np.ndarray,
+    scores,
     category_ids: Sequence[Optional[int]],
     category_layers: Sequence[int],
 ) -> List[dict]:
-    """labels (L, H, W) int32, scores (L, max_instances) -> result dicts."""
+    """labels (L, H, W) int32, scores (L, max_instances) array or
+    list-of-lists per layer -> result dicts."""
     annotations = []
     layer_to_cat = np.searchsorted(
         np.cumsum(category_layers), np.arange(labels.shape[0]), side="right")
@@ -35,16 +36,17 @@ def labeled_to_annotations(
         if category_id is None:
             continue
         layer = labels[layer_nr]
+        layer_scores = scores[layer_nr]
         # scores are padded to max_instances on device; clamp (an image with
         # more instances than the pad keeps only the first max_instances)
-        n_instances = min(int(layer.max()), scores.shape[1])
+        n_instances = min(int(layer.max()), len(layer_scores))
         for label_nr in range(1, n_instances + 1):
             mask = (layer == label_nr).astype(np.uint8)
             rle = rle_ops.encode(mask)
             annotations.append({
                 "image_id": int(image_id),
                 "category_id": int(category_id),
-                "score": float(scores[layer_nr, label_nr - 1]),
+                "score": float(layer_scores[label_nr - 1]),
                 "segmentation": {
                     "size": rle["size"],
                     "counts": rle["counts"].decode("utf-8"),

@@ -1,0 +1,89 @@
+"""CLI: the reference's main.py command surface (main.py:12-64).
+
+Commands: prepare_masks, prepare_metadata, train, evaluate, predict_on_dir,
+train_evaluate, with flags -p/--pipeline_name, -d/--dev_mode,
+-c/--chunk_size, --dir_path, --prediction_path. Config comes from
+$CONFIG_PATH or --config.
+
+    python -m mapping_tpu.main train -p unet_weighted -d
+"""
+
+import click
+
+from mapping_tpu.manager import PipelineManager
+
+
+@click.group()
+@click.option("--config", "config_path", default=None,
+              help="yaml parameter file (defaults to $CONFIG_PATH)")
+@click.pass_context
+def main(ctx, config_path):
+    ctx.obj = PipelineManager(config_path)
+
+
+@main.command()
+@click.option("-d", "--dev_mode", is_flag=True)
+@click.pass_obj
+def prepare_masks(manager, dev_mode):
+    manager.prepare_masks(dev_mode)
+
+
+@main.command()
+@click.option("-tr", "--train_data", is_flag=True)
+@click.option("-val", "--valid_data", is_flag=True)
+@click.pass_obj
+def prepare_metadata(manager, train_data, valid_data):
+    if not (train_data or valid_data):
+        train_data = valid_data = True
+    manager.prepare_metadata(train_data, valid_data)
+
+
+@main.command()
+@click.option("-p", "--pipeline_name", default="unet_weighted")
+@click.option("-d", "--dev_mode", is_flag=True)
+@click.pass_obj
+def train(manager, pipeline_name, dev_mode):
+    manager.start_experiment()
+    manager.train(pipeline_name, dev_mode)
+    manager.finish_experiment()
+
+
+@main.command()
+@click.option("-p", "--pipeline_name", default="unet")
+@click.option("-d", "--dev_mode", is_flag=True)
+@click.option("-c", "--chunk_size", type=int, default=None)
+@click.pass_obj
+def evaluate(manager, pipeline_name, dev_mode, chunk_size):
+    manager.start_experiment()
+    manager.evaluate(pipeline_name, dev_mode, chunk_size)
+    manager.finish_experiment()
+
+
+@main.command()
+@click.option("-p", "--pipeline_name", default="unet")
+@click.option("--dir_path", required=True)
+@click.option("--prediction_path", required=True)
+@click.option("-c", "--chunk_size", type=int, default=None)
+@click.pass_obj
+def predict_on_dir(manager, pipeline_name, dir_path, prediction_path,
+                   chunk_size):
+    manager.start_experiment()
+    manager.predict_on_dir(pipeline_name, dir_path, prediction_path,
+                           chunk_size)
+    manager.finish_experiment()
+
+
+@main.command()
+@click.option("-p", "--pipeline_name", default="unet_weighted")
+@click.option("-d", "--dev_mode", is_flag=True)
+@click.option("-c", "--chunk_size", type=int, default=None)
+@click.pass_obj
+def train_evaluate(manager, pipeline_name, dev_mode, chunk_size):
+    manager.start_experiment()
+    manager.train(pipeline_name, dev_mode)
+    manager.evaluate(pipeline_name, dev_mode, chunk_size)
+    manager.finish_experiment()
+
+
+if __name__ == "__main__":
+    main()

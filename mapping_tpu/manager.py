@@ -1,0 +1,270 @@
+"""PipelineManager: experiment lifecycle orchestration.
+
+Parity target: reference src/pipeline_manager.py — prepare_masks,
+prepare_metadata, train (dev-mode 20/10 sampling), evaluate (val sampling,
+chunked prediction, prediction.json, COCO AP/AR), predict_on_dir, plus the
+scoring-model data assembly and the CATEGORY_LAYERS guard asserts
+(src/pipeline_manager.py:38-61). Neptune experiment tracking becomes the
+MetricSink (stdout + metrics.jsonl under the experiment dir).
+"""
+
+import json
+import math
+import os
+import shutil
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from mapping_tpu.config import build_config
+from mapping_tpu.constants import (CATEGORY_IDS, CATEGORY_LAYERS, SEED,
+                                   Y_COLUMNS_SCORING)
+from mapping_tpu.data.metadata import (generate_inference_metadata,
+                                       generate_metadata)
+from mapping_tpu.eval import coco_evaluation
+from mapping_tpu.infer.annotations import labeled_to_annotations
+from mapping_tpu.pipelines import PIPELINES
+from mapping_tpu.prep import overlay_masks
+from mapping_tpu.train.callbacks import MetricSink
+from mapping_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def _seed_everything(seed):
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+class PipelineManager:
+    def __init__(self, config_path: Optional[str] = None, overrides=None):
+        self.config = build_config(config_path, overrides)
+        self.params = self.config.params
+        _seed_everything(SEED)
+        self.sink = MetricSink(os.path.join(self.params.experiment_dir,
+                                            "metrics.jsonl"))
+
+    def _category_layers(self):
+        return list(self.params.get("category_layers", CATEGORY_LAYERS))
+
+    def prepare_masks(self, dev_mode):
+        prepare_masks(dev_mode, self.params)
+
+    def prepare_metadata(self, train_data, valid_data):
+        prepare_metadata(train_data, valid_data, self.params)
+
+    def start_experiment(self):
+        os.makedirs(self.params.experiment_dir, exist_ok=True)
+
+    def finish_experiment(self):
+        pass
+
+    def train(self, pipeline_name, dev_mode):
+        cl = self._category_layers()
+        if pipeline_name == "scoring_model":
+            assert cl[1] > 1, (
+                "Train the scoring model with multiple thresholds: set "
+                "category_layers to [1, 19]")
+        else:
+            assert cl[1] == 1, (
+                "Training the base unet requires category_layers [1, 1]")
+        train(pipeline_name, dev_mode, self.config)
+
+    def evaluate(self, pipeline_name, dev_mode, chunk_size):
+        cl = self._category_layers()
+        if "scoring_model" in pipeline_name:
+            assert cl[1] > 1, (
+                "Evaluating a scoring-model pipeline requires multiple "
+                "thresholds: set category_layers to [1, 19]")
+        else:
+            assert cl[1] == 1, (
+                "Evaluating without a second-layer model requires "
+                "category_layers [1, 1]")
+        ap, ar = evaluate(pipeline_name, dev_mode, chunk_size, self.config)
+        self.sink.send_metric("Precision", ap)
+        self.sink.send_metric("Recall", ar)
+        return ap, ar
+
+    def predict_on_dir(self, pipeline_name, dir_path, prediction_path,
+                       chunk_size):
+        cl = self._category_layers()
+        if "scoring_model" in pipeline_name:
+            assert cl[1] > 1, "set category_layers to [1, 19]"
+        else:
+            assert cl[1] == 1, "set category_layers to [1, 1]"
+        predict_on_dir(pipeline_name, dir_path, prediction_path, chunk_size,
+                       self.config)
+
+
+# ---------------------------------------------------------------------------
+# module-level drivers (reference src/pipeline_manager.py:68-244)
+# ---------------------------------------------------------------------------
+
+def prepare_masks(dev_mode, params):
+    for dataset in ["train", "val"]:
+        mask_dirname = "masks_overlayed_eroded_{}_dilated_{}".format(
+            params.erode_selem_size, params.dilate_selem_size)
+        target_dir = os.path.join(params.meta_dir, mask_dirname)
+        logger.info("overlaying masks for %s -> %s", dataset, target_dir)
+        overlay_masks(
+            data_dir=params.data_dir,
+            dataset=dataset,
+            target_dir=target_dir,
+            category_ids=CATEGORY_IDS,
+            erode=params.erode_selem_size,
+            dilate=params.dilate_selem_size,
+            is_small=bool(dev_mode),
+            border_width=params.border_width,
+            small_annotations_size=params.small_annotations_size,
+        )
+
+
+def prepare_metadata(train_data, valid_data, params):
+    logger.info("creating metadata")
+    meta = generate_metadata(
+        data_dir=params.data_dir,
+        meta_dir=params.meta_dir,
+        masks_overlayed_prefix=params.masks_overlayed_prefix,
+        process_train_data=train_data,
+        process_validation_data=valid_data,
+    )
+    path = os.path.join(params.meta_dir, "metadata.csv")
+    os.makedirs(params.meta_dir, exist_ok=True)
+    meta.to_csv(path, index=None)
+    logger.info("metadata saved to %s", path)
+
+
+def _sample(df, n, seed):
+    n = min(int(n), len(df))
+    return df.sample(n, random_state=seed) if n < len(df) else df
+
+
+def train(pipeline_name, dev_mode, config):
+    params = config.params
+    logger.info("training %s", pipeline_name)
+    if bool(params.overwrite) and os.path.isdir(params.experiment_dir):
+        shutil.rmtree(params.experiment_dir)
+
+    meta = pd.read_csv(os.path.join(params.meta_dir, "metadata.csv"),
+                       low_memory=False)
+    meta_train = meta[meta["is_train"] == 1]
+    meta_valid = meta[meta["is_valid"] == 1]
+    meta_valid = _sample(meta_valid, params.evaluation_data_sample, SEED)
+
+    train_mode = True
+    annotations = None
+    if dev_mode:
+        meta_train = _sample(meta_train, 20, SEED)
+        meta_valid = _sample(meta_valid, 10, SEED)
+    if pipeline_name == "scoring_model":
+        train_mode = False
+        meta_train, annotations = _get_scoring_model_data(
+            params.data_dir, meta_train,
+            params.scoring_model__num_training_examples, SEED)
+
+    data = {
+        "input": {
+            "meta": meta_train,
+            "target_sizes": [(300, 300)] * len(meta_train),
+            "annotations": annotations,
+        },
+        "specs": {"train_mode": train_mode},
+        "callback_input": {"meta_valid": meta_valid},
+    }
+    pipeline = PIPELINES[pipeline_name]["train"](config)
+    pipeline.clean_cache()
+    pipeline.fit_transform(data)
+    pipeline.clean_cache()
+
+
+def evaluate(pipeline_name, dev_mode, chunk_size, config):
+    params = config.params
+    logger.info("evaluating %s", pipeline_name)
+    meta = pd.read_csv(os.path.join(params.meta_dir, "metadata.csv"),
+                       low_memory=False)
+    meta_valid = meta[meta["is_valid"] == 1]
+    meta_valid = _sample(meta_valid, params.evaluation_data_sample, SEED)
+    if dev_mode:
+        meta_valid = _sample(meta_valid, 30, SEED)
+
+    pipeline = PIPELINES[pipeline_name]["inference"](config)
+    prediction = generate_prediction(meta_valid, pipeline, config, chunk_size)
+
+    prediction_filepath = os.path.join(params.experiment_dir,
+                                       "prediction.json")
+    os.makedirs(params.experiment_dir, exist_ok=True)
+    with open(prediction_filepath, "w") as f:
+        json.dump(prediction, f)
+
+    gt_path = os.path.join(params.data_dir, "val", "annotation.json")
+    ap, ar = coco_evaluation(
+        gt_filepath=gt_path,
+        prediction_filepath=prediction_filepath,
+        image_ids=list(meta_valid[Y_COLUMNS_SCORING[0]].values),
+        category_ids=[c for c in CATEGORY_IDS if c is not None],
+        small_annotations_size=params.small_annotations_size,
+    )
+    logger.info("validation precision (AP@0.5) = %.4f", ap)
+    logger.info("validation recall    (AR@0.5) = %.4f", ar)
+    return ap, ar
+
+
+def predict_on_dir(pipeline_name, dir_path, prediction_path, chunk_size,
+                   config):
+    meta = generate_inference_metadata(images_dir=dir_path)
+    pipeline = PIPELINES[pipeline_name]["inference"](config)
+    prediction = generate_prediction(meta, pipeline, config, chunk_size)
+    with open(prediction_path, "w") as f:
+        json.dump(prediction, f)
+    logger.info("submission saved to %s", prediction_path)
+
+
+def generate_prediction(meta_data, pipeline, config, chunk_size=None):
+    category_layers = tuple(config.params.get("category_layers",
+                                              CATEGORY_LAYERS))
+    if chunk_size is None:
+        chunks = [meta_data]
+    else:
+        n = math.ceil(len(meta_data) / chunk_size)
+        chunks = [meta_data.iloc[i * chunk_size:(i + 1) * chunk_size]
+                  for i in range(n)]
+    prediction = []
+    for chunk in chunks:
+        data = {
+            "input": {"meta": chunk,
+                      "target_sizes": [(300, 300)] * len(chunk)},
+            "specs": {"train_mode": False},
+            "callback_input": {"meta_valid": None},
+        }
+        pipeline.clean_cache()
+        y_pred = pipeline.transform(data)["y_pred"]
+        pipeline.clean_cache()
+        for image_id, (labels, scores) in zip(chunk["ImageId"].values, y_pred):
+            prediction.extend(labeled_to_annotations(
+                image_id, np.asarray(labels), scores, CATEGORY_IDS,
+                category_layers))
+    return prediction
+
+
+def _get_scoring_model_data(data_dir, meta, num_training_examples, seed):
+    """Sample rows + group annotations per image/category (reference
+    src/pipeline_manager.py:232-244)."""
+    from mapping_tpu.data.coco import COCOIndex
+
+    coco = COCOIndex(os.path.join(data_dir, "train", "annotation.json"))
+    meta = _sample(meta, num_training_examples, seed)
+    annotations = []
+    for image_id in meta["ImageId"].values:
+        image_annotations = {}
+        for category_id in CATEGORY_IDS:
+            if category_id is None:
+                image_annotations[category_id] = []
+                continue
+            ann_ids = coco.get_ann_ids(img_ids=[image_id],
+                                       cat_ids=[category_id])
+            image_annotations[category_id] = coco.load_anns(ann_ids)
+        annotations.append(image_annotations)
+    return meta, annotations

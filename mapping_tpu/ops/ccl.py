@@ -96,34 +96,25 @@ def _label_raw(mask, max_iters):
 
 @jax.jit
 def _renumber(labels):
-    """Map arbitrary positive labels to consecutive 1..N per image (0 stays 0).
+    """Map root-index labels to consecutive 1..N per image (0 stays 0).
 
-    labels: (..., H, W) int32. Vectorized rank-by-sorted-unique: for each
-    image, sort the flat labels, count distinct positive values below each
-    label via searchsorted on first-occurrence ranks.
+    labels: (..., H, W) int32 where each foreground label is the linear index
+    of its component's minimal pixel + 1 (the `_label_raw` invariant). A
+    pixel is its component's *root* iff its own linear index + 1 equals its
+    label; ranking roots by a row-major prefix sum and gathering the rank at
+    each pixel's root reproduces scipy.ndimage.label's numbering
+    (components ordered by first pixel in row-major scan) with one cumsum +
+    one gather — no sort needed.
     """
     shape = labels.shape
-    flat = labels.reshape(shape[:-2] + (-1,))
-    sorted_ = jnp.sort(flat, axis=-1)
-    # rank of each distinct value = number of distinct values strictly before
-    first = jnp.concatenate(
-        [
-            jnp.ones(sorted_.shape[:-1] + (1,), dtype=jnp.int32),
-            (sorted_[..., 1:] != sorted_[..., :-1]).astype(jnp.int32),
-        ],
-        axis=-1,
-    )
-    # do not count the background value 0 as a component
-    first = first * (sorted_ > 0).astype(jnp.int32)
-    ranks = jnp.cumsum(first, axis=-1)  # distinct positive values seen so far
-
-    def one(flat_i, sorted_i, ranks_i):
-        idx = jnp.searchsorted(sorted_i, flat_i, side="left")
-        return jnp.where(flat_i > 0, ranks_i[idx], 0)
-
-    for _ in range(len(shape) - 2):
-        one = jax.vmap(one)
-    out = one(flat, sorted_, ranks)
+    h, w = shape[-2], shape[-1]
+    flat = labels.reshape(shape[:-2] + (h * w,))
+    lin = jnp.arange(1, h * w + 1, dtype=jnp.int32)
+    is_root = flat == lin
+    ranks = jnp.cumsum(is_root.astype(jnp.int32), axis=-1)
+    root_idx = jnp.maximum(flat - 1, 0)
+    out = jnp.where(flat > 0,
+                    jnp.take_along_axis(ranks, root_idx, axis=-1), 0)
     return out.reshape(shape).astype(jnp.int32)
 
 

@@ -1,0 +1,325 @@
+"""Pipeline registry: the 8 named train/inference pipelines.
+
+Parity target: the reference PIPELINES dict (src/pipelines.py:395-411) —
+unet, unet_weighted, unet_tta, unet_padded, scoring_model,
+unet_scoring_model, unet_padded_scoring_model, unet_tta_scoring_model —
+each mapping 'train'/'inference' to a `config -> pipeline` factory.
+
+Architecture change (SURVEY.md §7 design stance): instead of a lazy host DAG
+shuttling per-image numpy between Step nodes, a pipeline here is a thin
+composition object around three compiled programs — the loader's device
+preprocess, the trainer's train/predict steps, and the fused postprocess —
+plus an artifact store replacing the Step transformer cache
+(src/steps/base.py:92-174): trained components persist under
+`{experiment_dir}/transformers/` and `transform()` refuses to run without
+them, like the reference's trainable-step contract.
+
+Prediction format: `y_pred` is a list over images of
+(labels (L, 300, 300) int32, scores: per-layer score lists) — the analog of
+the reference's images_with_scores.
+"""
+
+import os
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+from mapping_tpu.constants import (CATEGORY_IDS, CATEGORY_LAYERS, SEED,
+                                   X_COLUMNS, Y_COLUMNS)
+from mapping_tpu.data.loader import SegmentationLoader
+from mapping_tpu.data.tta import tta_specs, tta_wrap_predict
+from mapping_tpu.infer.postprocess import postprocess_probabilities
+from mapping_tpu.scoring import (FeatureExtractor, NonMaximumSupression,
+                                 ScoringGBM, ScoringRandomForest,
+                                 features_for_image)
+from mapping_tpu.train.trainer import UNetTrainer
+from mapping_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+def _xy(meta):
+    x = meta[X_COLUMNS[0]].values
+    y_col = Y_COLUMNS[0]
+    y = meta[y_col].values if y_col in meta.columns else None
+    return x, y
+
+
+def _category_layers(config):
+    return tuple(config.params.get("category_layers", CATEGORY_LAYERS))
+
+
+class UNetPipeline:
+    """unet / unet_weighted / unet_tta / unet_padded, one class.
+
+    (reference factories: src/pipelines.py:12-95,55-91,94-155.)
+    """
+
+    def __init__(self, config, train_mode: bool, loss_name: str = "ce",
+                 tta: bool = False, padded: bool = False):
+        self.config = config
+        self.train_mode = train_mode
+        self.loss_name = loss_name
+        self.tta = tta
+        self.padded = padded
+        self.cache_dir = config.env.cache_dirpath
+
+        loader_cfg = dict(config.loader)
+        if padded:
+            loader_cfg["mode"] = "crop_and_pad"
+        self.loader = SegmentationLoader(**loader_cfg)
+        self.trainer = UNetTrainer(
+            model_params=config.unet.model_params,
+            optimizer_params=config.unet.optimizer_params,
+            loss_params=config.unet.loss,
+            training_config=config.unet.training,
+            callbacks_config=config.unet.callbacks if train_mode else None,
+            loss_name=loss_name,
+            input_size=config.loader.size,
+            seed=SEED,
+        )
+        self.category_layers = _category_layers(config)
+
+    # ------------------------------------------------------------ cache
+    @property
+    def trainer_cache_path(self):
+        return os.path.join(self.cache_dir, "transformers", "unet.msgpack")
+
+    def clean_cache(self):
+        pass  # no in-RAM step outputs to drop; kept for API parity
+
+    # ------------------------------------------------------------- fit
+    def fit_transform(self, data):
+        meta = data["input"]["meta"]
+        meta_valid = data.get("callback_input", {}).get("meta_valid")
+        x, y = _xy(meta)
+        x_valid = y_valid = None
+        if meta_valid is not None and len(meta_valid):
+            x_valid, y_valid = _xy(meta_valid)
+
+        if os.path.exists(self.trainer_cache_path) and not self.config.params.get(
+                "overwrite", 0):
+            logger.info("unet: loading cached transformer from %s",
+                        self.trainer_cache_path)
+            self.trainer.load(self.trainer_cache_path)
+        else:
+            gens = self.loader.transform(x, y, x_valid, y_valid,
+                                         train_mode=True)
+            self.trainer.fit(gens["datagen"], gens["validation_datagen"],
+                             meta_valid=meta_valid)
+            self.trainer.save(self.trainer_cache_path)
+        return self.transform(data)
+
+    # -------------------------------------------------------- inference
+    def transform(self, data):
+        if not os.path.exists(self.trainer_cache_path):
+            raise RuntimeError(
+                f"no trained unet found at {self.trainer_cache_path}; run "
+                "train first (trainable-transformer contract, reference "
+                "src/steps/base.py:166-174)")
+        self.trainer.load(self.trainer_cache_path)
+
+        meta = data["input"]["meta"]
+        x, _ = _xy(meta)
+        gens = self.loader.transform(x, None, train_mode=False)
+        probs_batches = self._predict_batches(gens["datagen"])
+
+        post = self.config.postprocessor
+        target_size = tuple(post.target_size)
+        y_pred = []
+        for probs in probs_batches:
+            probs = np.asarray(probs)
+            if self.padded:
+                probs = self._center_crop(probs, target_size)
+            labels, scores, _ = postprocess_probabilities(
+                probs,
+                target_size=target_size,
+                category_layers=self.category_layers,
+                erode_size=int(post.erode_selem_size),
+                dilate_size=int(post.dilate_selem_size),
+            )
+            for lab, sc in zip(labels, scores):
+                trimmed = [list(sc[l][: int(lab[l].max())])
+                           for l in range(lab.shape[0])]
+                y_pred.append((lab, trimmed))
+        return {"y_pred": y_pred}
+
+    def _predict_batches(self, datagen):
+        if not self.tta:
+            yield from self.trainer.predict_probs_datagen(datagen)
+            return
+        specs = tta_specs(**dict(self.config.tta_generator))
+        method = self.config.tta_aggregator.method
+        self.trainer._ensure_state()
+        predict = partial(self.trainer._predict_step, self.trainer.state)
+        tta_run = tta_wrap_predict(predict, specs, method)
+        flow, steps = datagen
+        for batch_id, batch in enumerate(flow):
+            images = batch["image"] if isinstance(batch, dict) else batch
+            yield tta_run(images)
+            if batch_id + 1 >= steps:
+                break
+
+    @staticmethod
+    def _center_crop(probs, target_size):
+        h, w = probs.shape[1:3]
+        ch, cw = target_size
+        top, left = (h - ch) // 2, (w - cw) // 2
+        return probs[:, top:top + ch, left:left + cw]
+
+
+class ScoringModelPipeline:
+    """scoring_model train path (reference src/pipelines.py:307-338):
+    unet inference -> per-instance features with GT IoU -> fit regressor."""
+
+    def __init__(self, config):
+        self.config = config
+        self.cache_dir = config.env.cache_dirpath
+        self.base = UNetPipeline(config, train_mode=False)
+        self.model = _make_scoring_model(config)
+        self.category_layers = _category_layers(config)
+
+    @property
+    def cache_path(self):
+        return os.path.join(self.cache_dir, "transformers",
+                            "scoring_model.joblib")
+
+    def clean_cache(self):
+        pass
+
+    def fit_transform(self, data):
+        # annotations: list aligned with meta rows, each {category_id: [ann]}
+        # (reference _get_scoring_model_data, src/pipeline_manager.py:232-244)
+        annotations = data["input"].get("annotations")
+        meta = data["input"]["meta"]
+        out = self.base.transform(data)
+        probs_by_image = _collect_probabilities(self.base, data)
+        if annotations is None:
+            annotations = [{}] * len(meta)
+        features = []
+        for (labels, _), probs, anns in zip(
+                out["y_pred"], probs_by_image, annotations):
+            features.append(features_for_image(labels, probs, anns))
+        self.model.fit(features)
+        os.makedirs(os.path.dirname(self.cache_path), exist_ok=True)
+        self.model.save(self.cache_path)
+        return {"scoring_model": self.model}
+
+    def transform(self, data):
+        raise RuntimeError("scoring_model pipeline only supports training")
+
+
+class ScoringInferencePipeline:
+    """unet[_padded|_tta]_scoring_model (reference src/pipelines.py:341-392):
+    base inference -> features -> regressor scores -> threshold-layer NMS."""
+
+    def __init__(self, config, base_factory):
+        self.config = config
+        self.cache_dir = config.env.cache_dirpath
+        self.base = base_factory(config)
+        self.model = _make_scoring_model(config)
+        self.nms = NonMaximumSupression(
+            iou_threshold=config.postprocessor.nms.iou_threshold)
+
+    @property
+    def cache_path(self):
+        return os.path.join(self.cache_dir, "transformers",
+                            "scoring_model.joblib")
+
+    def clean_cache(self):
+        pass
+
+    def transform(self, data):
+        if not os.path.exists(self.cache_path):
+            raise RuntimeError(
+                f"no trained scoring model at {self.cache_path}")
+        self.model.load(self.cache_path)
+        out = self.base.transform(data)
+        probs_by_image = _collect_probabilities(self.base, data)
+        features = [features_for_image(labels, probs)
+                    for (labels, _), probs in zip(out["y_pred"],
+                                                  probs_by_image)]
+        scores = self.model.transform(features)["scores"]
+        images_with_scores = [
+            (labels, image_scores)
+            for (labels, _), image_scores in zip(out["y_pred"], scores)
+        ]
+        cleaned = self.nms.transform(images_with_scores)["images_with_scores"]
+        return {"y_pred": cleaned}
+
+    def fit_transform(self, data):
+        return self.transform(data)
+
+
+def _collect_probabilities(base: UNetPipeline, data):
+    """Re-run the base forward to collect per-image resized probability maps
+    (C, H, W) for feature extraction."""
+    meta = data["input"]["meta"]
+    x, _ = _xy(meta)
+    gens = base.loader.transform(x, None, train_mode=False)
+    target_size = tuple(base.config.postprocessor.target_size)
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def resize(p):
+        b = p.shape[0]
+        return jax.image.resize(
+            p, (b,) + target_size + (p.shape[-1],), "linear")
+
+    out = []
+    for probs in base._predict_batches(gens["datagen"]):
+        probs = np.asarray(resize(jnp.asarray(probs)))
+        if base.padded:
+            probs = base._center_crop(probs, target_size)
+        for item in probs:
+            out.append(np.moveaxis(item, -1, 0))
+    return out
+
+
+def _make_scoring_model(config):
+    post = config.postprocessor
+    if post.scoring_model == "lgbm":
+        cfg = post.lightGBM
+        return ScoringGBM(model_params=dict(cfg.model_params),
+                          training_params=dict(cfg.training_params),
+                          train_size=cfg.train_size, target=cfg.target)
+    cfg = post.random_forest
+    return ScoringRandomForest(model_params=dict(cfg.model_params),
+                               train_size=cfg.train_size, target=cfg.target)
+
+
+PIPELINES = {
+    "unet": {
+        "train": partial(UNetPipeline, train_mode=True, loss_name="ce"),
+        "inference": partial(UNetPipeline, train_mode=False, loss_name="ce"),
+    },
+    "unet_weighted": {
+        "train": partial(UNetPipeline, train_mode=True, loss_name="weighted"),
+        "inference": partial(UNetPipeline, train_mode=False,
+                             loss_name="weighted"),
+    },
+    "unet_tta": {
+        "inference": partial(UNetPipeline, train_mode=False, tta=True),
+    },
+    "unet_padded": {
+        "inference": partial(UNetPipeline, train_mode=False, padded=True),
+    },
+    "scoring_model": {"train": ScoringModelPipeline},
+    "unet_scoring_model": {
+        "inference": partial(
+            ScoringInferencePipeline,
+            base_factory=partial(UNetPipeline, train_mode=False)),
+    },
+    "unet_padded_scoring_model": {
+        "inference": partial(
+            ScoringInferencePipeline,
+            base_factory=partial(UNetPipeline, train_mode=False, padded=True)),
+    },
+    "unet_tta_scoring_model": {
+        "inference": partial(
+            ScoringInferencePipeline,
+            base_factory=partial(UNetPipeline, train_mode=False, tta=True)),
+    },
+}

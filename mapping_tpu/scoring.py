@@ -1,0 +1,306 @@
+"""Second-level scoring models: per-instance feature extraction, IoU
+regressors, threshold-layer NMS.
+
+Parity targets:
+ - FeatureExtractor / get_features_for_image (reference
+   src/postprocessing.py:18-25,261-321): 11 handcrafted features per
+   instance (iou vs GT on the train path, threshold, area, mean/max prob,
+   bbox aspect/area/fill, min/max distance to border, contour length);
+ - ScoringLightGBM / ScoringRandomForest (src/models.py:212-284) — lightgbm
+   is unavailable in this environment, so the 'lgbm' config key maps to
+   sklearn HistGradientBoostingRegressor (same gradient-boosted-trees family)
+   with the reference's train/valid split + early stopping; RF is sklearn's;
+ - ScoreImageJoiner + NonMaximumSupression / remove_overlapping_masks
+   (src/postprocessing.py:28-45,367-380): greedy per-image mask NMS across
+   threshold layers by score, zeroing suppressed scores at IoU > 0.5.
+
+Contour length is computed as boundary-pixel count (mask minus 4-neighbor
+erosion), the dependency-free equivalent of the reference's cv2.findContours
+CHAIN_APPROX_NONE pixel chain (src/postprocessing.py:356-364).
+"""
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from mapping_tpu.constants import CATEGORY_IDS, CATEGORY_LAYERS
+from mapping_tpu.ops import rle as rle_ops
+
+
+# ---------------------------------------------------------------------------
+# features
+# ---------------------------------------------------------------------------
+
+def _bbox(mask):
+    rows = np.any(mask, axis=1)
+    cols = np.any(mask, axis=0)
+    rmin, rmax = np.where(rows)[0][[0, -1]]
+    cmin, cmax = np.where(cols)[0][[0, -1]]
+    return rmin, rmax + 1, cmin, cmax + 1
+
+
+def _contour_length(mask):
+    m = mask.astype(bool)
+    interior = m.copy()
+    interior[1:] &= m[:-1]
+    interior[:-1] &= m[1:]
+    interior[:, 1:] &= m[:, :-1]
+    interior[:, :-1] &= m[:, 1:]
+    return int(m.sum() - interior.sum())
+
+
+def features_for_mask(mask, probabilities, threshold, iou=None) -> Dict:
+    """One instance's feature row (reference get_features_for_mask,
+    src/postprocessing.py:286-303)."""
+    mask = mask.astype(bool)
+    area = int(mask.sum())
+    masked = np.where(mask, probabilities, 0.0)
+    mean_prob = float(masked.sum() / max(area, 1))
+    max_prob = float(masked.max()) if area else 0.0
+    rmin, rmax, cmin, cmax = _bbox(mask)
+    bh, bw = rmax - rmin, cmax - cmin
+    h, w = mask.shape
+    dists = [rmin, h - rmax, cmin, w - cmax]
+    return {
+        "iou": iou,
+        "threshold": round(float(threshold), 2),
+        "area": area,
+        "mean_prob": mean_prob,
+        "max_prob": max_prob,
+        "bbox_ar": bh / bw,
+        "bbox_area": bh * bw,
+        "bbox_fill": area / (bh * bw),
+        "min_dist_to_border": min(dists),
+        "max_dist_to_border": max(dists),
+        "contour_length": _contour_length(mask),
+    }
+
+
+def _layer_thresholds():
+    thresholds = []
+    for n in CATEGORY_LAYERS:
+        step = 1.0 / (n + 1)
+        thresholds.extend(np.arange(step, 1.0 - 1e-9, step))
+    return thresholds
+
+
+def features_for_image(labels, probabilities, annotations=None) -> List[pd.DataFrame]:
+    """Per threshold-layer feature tables for one image.
+
+    labels: (L, H, W) labeled instances; probabilities: (C, H, W) or
+    (H, W, C) category probability maps; annotations: {category_id: [ann]}
+    for GT IoU targets on the train path (reference get_features_for_image,
+    src/postprocessing.py:261-283).
+    """
+    if probabilities.ndim == 3 and probabilities.shape[-1] <= 8:
+        probabilities = np.moveaxis(probabilities, -1, 0)
+    annotations = annotations or {}
+    thresholds = _layer_thresholds()
+    layer_to_cat = np.searchsorted(np.cumsum(CATEGORY_LAYERS),
+                                   np.arange(labels.shape[0]), side="right")
+    image_features = []
+    for layer_nr in range(labels.shape[0]):
+        cat_nr = layer_to_cat[layer_nr]
+        cat_probs = probabilities[cat_nr]
+        cat_anns = annotations.get(CATEGORY_IDS[cat_nr], [])
+        layer = labels[layer_nr]
+        iou_matrix = _gt_iou_matrix(layer, cat_anns)
+        rows = []
+        for label_nr in range(1, int(layer.max()) + 1):
+            mask = layer == label_nr
+            iou = (float(iou_matrix[label_nr - 1].max())
+                   if iou_matrix is not None and iou_matrix.size else None)
+            rows.append(features_for_mask(mask, cat_probs,
+                                          thresholds[layer_nr], iou))
+        image_features.append(pd.DataFrame(rows))
+    return image_features
+
+
+def _gt_iou_matrix(layer, annotations):
+    if not annotations:
+        return None
+    h, w = layer.shape
+    gt_rles = []
+    for ann in annotations:
+        seg = ann["segmentation"]
+        gt_rles.append(seg if isinstance(seg, dict)
+                       else rle_ops.from_py_objects(seg, h, w)[0])
+    dt_rles = [rle_ops.encode((layer == i).astype(np.uint8))
+               for i in range(1, int(layer.max()) + 1)]
+    if not dt_rles:
+        return None
+    return rle_ops.iou(dt_rles, gt_rles, [0] * len(gt_rles))
+
+
+class FeatureExtractor:
+    """Batch driver (reference FeatureExtractor, src/postprocessing.py:18-25)."""
+
+    def transform(self, images, probabilities, annotations=None):
+        if annotations is None:
+            annotations = [None] * len(images)
+        features = [features_for_image(img, probs, anns)
+                    for img, probs, anns in zip(images, probabilities,
+                                                annotations)]
+        return {"features": features}
+
+
+# ---------------------------------------------------------------------------
+# scoring regressors
+# ---------------------------------------------------------------------------
+
+_FEATURE_COLUMNS = ["threshold", "area", "mean_prob", "max_prob", "bbox_ar",
+                    "bbox_area", "bbox_fill", "min_dist_to_border",
+                    "max_dist_to_border", "contour_length"]
+
+
+def _features_to_df(features) -> pd.DataFrame:
+    """Flatten image x non-background-layer tables (reference
+    _convert_features_to_df, src/models.py:457-462)."""
+    frames = []
+    for image_features in features:
+        for layer_features in image_features[1:]:
+            frames.append(layer_features)
+    return pd.concat(frames) if frames else pd.DataFrame()
+
+
+class _ScoringModelBase:
+    """fit on the extracted features / predict per image x layer
+    (reference ScoringLightGBM/-RandomForest, src/models.py:212-284)."""
+
+    target = "iou"
+    train_size = 0.7
+
+    def __init__(self):
+        self.estimator = None
+
+    def fit(self, features):
+        from sklearn.model_selection import train_test_split
+
+        df = _features_to_df(features)
+        df = df[df[self.target].notna()]
+        X = df[_FEATURE_COLUMNS].astype(np.float64).values
+        y = df[self.target].astype(np.float64).values
+        if len(df) < 4:
+            X_train, y_train = X, y
+            X_valid, y_valid = X, y
+        else:
+            X_train, X_valid, y_train, y_valid = train_test_split(
+                X, y, train_size=self.train_size, random_state=1234)
+        self._fit_estimator(X_train, y_train, X_valid, y_valid)
+        return self
+
+    def transform(self, features):
+        scores = []
+        for image_features in features:
+            image_scores = []
+            for layer_nr, layer_features in enumerate(image_features):
+                if layer_nr == 0 or not len(layer_features):
+                    image_scores.append([0.0] * len(layer_features))
+                    continue
+                X = layer_features[_FEATURE_COLUMNS].astype(np.float64).values
+                image_scores.append(list(self.estimator.predict(X)))
+            scores.append(image_scores)
+        return {"scores": scores}
+
+    def save(self, filepath):
+        import joblib
+
+        joblib.dump(self.estimator, filepath)
+
+    def load(self, filepath):
+        import joblib
+
+        self.estimator = joblib.load(filepath)
+        return self
+
+
+class ScoringGBM(_ScoringModelBase):
+    """Gradient-boosted-trees IoU regressor (the 'lgbm' slot; lightgbm is
+    not in this image, sklearn's histogram GBM is the same model family)."""
+
+    def __init__(self, model_params=None, training_params=None,
+                 train_size=0.7, target="iou"):
+        super().__init__()
+        self.model_params = dict(model_params or {})
+        self.training_params = dict(training_params or {})
+        self.train_size = train_size
+        self.target = target
+
+    def _fit_estimator(self, X_train, y_train, X_valid, y_valid):
+        from sklearn.ensemble import HistGradientBoostingRegressor
+
+        self.estimator = HistGradientBoostingRegressor(
+            learning_rate=self.model_params.get("learning_rate", 0.01),
+            max_leaf_nodes=min(self.model_params.get("num_leaves", 500), 255),
+            max_depth=self.model_params.get("max_depth", 20),
+            max_iter=min(self.training_params.get("number_boosting_rounds",
+                                                  500), 1000),
+            early_stopping=True,
+            n_iter_no_change=self.training_params.get(
+                "early_stopping_rounds", 10),
+            random_state=1234,
+        )
+        self.estimator.fit(X_train, y_train)
+
+
+ScoringLightGBM = ScoringGBM  # reference-name alias
+
+
+class ScoringRandomForest(_ScoringModelBase):
+    def __init__(self, model_params=None, train_size=0.7, target="iou"):
+        super().__init__()
+        self.model_params = dict(model_params or {})
+        self.train_size = train_size
+        self.target = target
+
+    def _fit_estimator(self, X_train, y_train, X_valid, y_valid):
+        from sklearn.ensemble import RandomForestRegressor
+
+        params = dict(self.model_params)
+        params.setdefault("random_state", 1234)
+        self.estimator = RandomForestRegressor(**params)
+        self.estimator.fit(X_train, y_train)
+
+
+# ---------------------------------------------------------------------------
+# NMS across threshold layers
+# ---------------------------------------------------------------------------
+
+def remove_overlapping_masks(labels, scores, iou_threshold=0.5):
+    """Greedy per-image NMS by score across all (layer, instance) pairs,
+    zeroing suppressed scores (reference src/postprocessing.py:367-380)."""
+    entries = []
+    for layer_nr, layer_scores in enumerate(scores):
+        for label_idx, score in enumerate(layer_scores):
+            entries.append((float(score), layer_nr, label_idx + 1))
+    entries.sort(key=lambda e: e[0], reverse=True)
+    alive = list(entries)
+    i = 0
+    while i < len(alive):
+        _, li, ni = alive[i]
+        base = labels[li] == ni
+        base_area = base.sum()
+        j = i + 1
+        while j < len(alive):
+            _, lj, nj = alive[j]
+            other = labels[lj] == nj
+            inter = np.count_nonzero(base & other)
+            union = base_area + other.sum() - inter
+            if union > 0 and inter / union > iou_threshold:
+                scores[lj][nj - 1] = 0
+                alive.pop(j)
+            else:
+                j += 1
+        i += 1
+    return labels, scores
+
+
+class NonMaximumSupression:
+    def __init__(self, iou_threshold=0.5, **_):
+        self.iou_threshold = iou_threshold
+
+    def transform(self, images_with_scores):
+        out = [remove_overlapping_masks(labels, scores, self.iou_threshold)
+               for labels, scores in images_with_scores]
+        return {"images_with_scores": out}

@@ -1,0 +1,373 @@
+"""Training callbacks: monitors, early stopping, checkpointing, timing,
+metric sinks, per-epoch COCO-AP validation.
+
+Parity targets: the reference callback framework
+(src/steps/pytorch/callbacks.py:14-371 — hooks, CallbackList fan-out,
+validation-loss memoization per epoch) and the segmentation-specific
+ValidationMonitorSegmentation running a real COCO AP each epoch
+(src/callbacks.py:108-200). The Neptune channel senders become a pluggable
+MetricSink (stdout + JSONL), per SURVEY.md §5.
+"""
+
+import json
+import os
+import time
+from collections import defaultdict, deque
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from mapping_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+class MetricSink:
+    """stdout + optional JSONL channel sink (neptune send_metric analog)."""
+
+    def __init__(self, jsonl_path: Optional[str] = None):
+        self.jsonl_path = jsonl_path
+        if jsonl_path:
+            os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
+
+    def send(self, channel: str, x: float, y: float):
+        if self.jsonl_path:
+            with open(self.jsonl_path, "a") as f:
+                f.write(json.dumps({"channel": channel, "x": float(x),
+                                    "y": float(y), "ts": time.time()}) + "\n")
+
+    def send_metric(self, name: str, value: float):
+        logger.info("metric %s = %s", name, value)
+        self.send(name, 0, value)
+
+
+class Callback:
+    def __init__(self):
+        self.trainer = None
+        self.validation_datagen = None
+        self.meta_valid = None
+        self.epoch_id = 0
+        self.batch_id = 0
+
+    def set_params(self, trainer, validation_datagen=None, meta_valid=None):
+        self.trainer = trainer
+        self.validation_datagen = validation_datagen
+        self.meta_valid = meta_valid
+
+    def on_train_begin(self, *a, **kw):
+        self.epoch_id = 0
+        self.batch_id = 0
+
+    def on_train_end(self, *a, **kw):
+        pass
+
+    def on_epoch_begin(self, *a, **kw):
+        pass
+
+    def on_epoch_end(self, *a, **kw):
+        self.epoch_id += 1
+
+    def on_batch_begin(self, *a, **kw):
+        pass
+
+    def on_batch_end(self, *a, **kw):
+        self.batch_id += 1
+
+    def training_break(self, *a, **kw):
+        return False
+
+    def get_validation_loss(self):
+        """Per-epoch memoized validation metrics shared through the trainer
+        (reference Callback.get_validation_loss, callbacks.py:56-59)."""
+        if self.epoch_id not in self.trainer.validation_loss:
+            self.trainer.validation_loss[self.epoch_id] = (
+                self.trainer.score_validation(self.validation_datagen))
+        return self.trainer.validation_loss[self.epoch_id]
+
+
+class CallbackList(Callback):
+    def __init__(self, callbacks: Optional[List[Callback]] = None):
+        super().__init__()
+        self.callbacks = list(callbacks or [])
+
+    def __len__(self):
+        return len(self.callbacks)
+
+    def set_params(self, *a, **kw):
+        for c in self.callbacks:
+            c.set_params(*a, **kw)
+
+    def on_train_begin(self, *a, **kw):
+        for c in self.callbacks:
+            c.on_train_begin(*a, **kw)
+
+    def on_train_end(self, *a, **kw):
+        for c in self.callbacks:
+            c.on_train_end(*a, **kw)
+
+    def on_epoch_begin(self, *a, **kw):
+        for c in self.callbacks:
+            c.on_epoch_begin(*a, **kw)
+
+    def on_epoch_end(self, *a, **kw):
+        for c in self.callbacks:
+            c.on_epoch_end(*a, **kw)
+
+    def on_batch_begin(self, *a, **kw):
+        for c in self.callbacks:
+            c.on_batch_begin(*a, **kw)
+
+    def on_batch_end(self, *a, **kw):
+        for c in self.callbacks:
+            c.on_batch_end(*a, **kw)
+
+    def training_break(self, *a, **kw):
+        return any(c.training_break(*a, **kw) for c in self.callbacks)
+
+
+class TrainingMonitor(Callback):
+    """Running batch/epoch loss averages (reference :107-144)."""
+
+    def __init__(self, batch_every=1, epoch_every=1):
+        super().__init__()
+        self.batch_every = batch_every
+        self.epoch_every = epoch_every
+        self.epoch_losses = defaultdict(list)
+
+    def on_epoch_begin(self, *a, **kw):
+        self.epoch_losses = defaultdict(list)
+
+    def on_batch_end(self, metrics=None, **kw):
+        metrics = metrics or {}
+        for name, value in metrics.items():
+            self.epoch_losses[name].append(float(value))
+        if self.batch_every and self.batch_id % self.batch_every == 0:
+            msg = " ".join(f"{k}={float(v):.5f}" for k, v in metrics.items())
+            logger.info("epoch %d batch %d %s", self.epoch_id, self.batch_id, msg)
+        super().on_batch_end(**kw)
+
+    def on_epoch_end(self, *a, **kw):
+        if self.epoch_every and self.epoch_id % self.epoch_every == 0:
+            for name, values in self.epoch_losses.items():
+                logger.info("epoch %d avg %s = %.5f", self.epoch_id, name,
+                            float(np.mean(values)))
+        super().on_epoch_end(*a, **kw)
+
+
+class ValidationMonitor(Callback):
+    """Per-epoch validation loss (reference :147-167)."""
+
+    def __init__(self, epoch_every=1, **_):
+        super().__init__()
+        self.epoch_every = epoch_every
+
+    def on_epoch_end(self, *a, **kw):
+        if self.validation_datagen is not None and (
+                self.epoch_every and self.epoch_id % self.epoch_every == 0):
+            loss = self.get_validation_loss()
+            for name, value in loss.items():
+                logger.info("epoch %d validation %s = %.5f", self.epoch_id,
+                            name, float(value))
+        super().on_epoch_end(*a, **kw)
+
+
+class ValidationMonitorSegmentation(ValidationMonitor):
+    """Per-epoch real COCO AP on the validation set, used as the 'sum'
+    metric for checkpoint/early-stop (reference src/callbacks.py:108-200).
+
+    Runs the jitted predict + fused postprocess over the validation datagen,
+    writes a temp prediction json, and calls coco_evaluation.
+    """
+
+    def __init__(self, data_dir=None, validate_with_map=True,
+                 small_annotations_size=14, epoch_every=1, **_):
+        super().__init__(epoch_every=epoch_every)
+        self.data_dir = data_dir
+        self.validate_with_map = validate_with_map
+        self.small_annotations_size = small_annotations_size
+
+    def get_validation_loss(self):
+        if not self.validate_with_map or self.meta_valid is None:
+            return super().get_validation_loss()
+        if self.epoch_id not in self.trainer.validation_loss:
+            ap = self._map_validation()
+            self.trainer.validation_loss[self.epoch_id] = {
+                "sum": np.asarray(ap)}
+        return self.trainer.validation_loss[self.epoch_id]
+
+    def _map_validation(self):
+        import tempfile
+
+        from mapping_tpu.constants import CATEGORY_IDS
+        from mapping_tpu.eval import coco_evaluation
+        from mapping_tpu.infer import create_annotations, postprocess_probabilities
+
+        gt_path = os.path.join(self.data_dir, "val", "annotation.json")
+        image_ids = list(self.meta_valid["ImageId"].values)
+        annotations = []
+        idx = 0
+        for probs in self.trainer.predict_probs_datagen(self.validation_datagen):
+            probs = np.asarray(probs)
+            labels, scores, _ = postprocess_probabilities(
+                probs, target_size=(300, 300), category_layers=(1, 1))
+            batch_ids = image_ids[idx: idx + probs.shape[0]]
+            idx += probs.shape[0]
+            annotations.extend(create_annotations(
+                batch_ids, labels, scores, CATEGORY_IDS, (1, 1)))
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            json.dump(annotations, f)
+            pred_path = f.name
+        try:
+            ap, _ = coco_evaluation(
+                gt_path, pred_path, image_ids,
+                [cid for cid in CATEGORY_IDS if cid is not None],
+                self.small_annotations_size, verbose=False)
+        finally:
+            os.unlink(pred_path)
+        logger.info("epoch %d validation mAP = %.5f", self.epoch_id, ap)
+        return ap
+
+
+class EarlyStopping(Callback):
+    """Patience on validation 'sum' (reference :170-201)."""
+
+    def __init__(self, patience=30, minimize=True, **_):
+        super().__init__()
+        self.patience = patience
+        self.minimize = minimize
+        self.best = None
+        self.since_best = 0
+        self._break = False
+
+    def on_train_begin(self, *a, **kw):
+        super().on_train_begin(*a, **kw)
+        self.best = None
+        self.since_best = 0
+        self._break = False
+
+    def on_epoch_end(self, *a, **kw):
+        if self.validation_datagen is not None or self.meta_valid is not None:
+            value = float(np.asarray(self.get_validation_loss()["sum"]))
+            improved = (self.best is None or
+                        (value < self.best if self.minimize else value > self.best))
+            if improved:
+                self.best = value
+                self.since_best = 0
+            else:
+                self.since_best += 1
+            if self.since_best > self.patience:
+                self._break = True
+        super().on_epoch_end(*a, **kw)
+
+    def training_break(self, *a, **kw):
+        return self._break
+
+
+class ModelCheckpoint(Callback):
+    """Keep the best checkpoint by validation 'sum' (reference :244-279)."""
+
+    def __init__(self, checkpoint_dir, minimize=True, epoch_every=1, **_):
+        super().__init__()
+        self.checkpoint_dir = checkpoint_dir
+        self.minimize = minimize
+        self.epoch_every = epoch_every
+        self.best = None
+
+    @property
+    def best_path(self):
+        return os.path.join(self.checkpoint_dir, "best.msgpack")
+
+    def on_train_begin(self, *a, **kw):
+        super().on_train_begin(*a, **kw)
+        self.best = None
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+
+    def on_epoch_end(self, *a, **kw):
+        if self.epoch_every and self.epoch_id % self.epoch_every == 0:
+            if self.validation_datagen is not None or self.meta_valid is not None:
+                value = float(np.asarray(self.get_validation_loss()["sum"]))
+            else:
+                value = None
+            improved = (value is None or self.best is None or
+                        (value < self.best if self.minimize else value > self.best))
+            if improved:
+                if value is not None:
+                    self.best = value
+                from mapping_tpu.train.checkpoint import save_state
+
+                save_state(self.trainer.state, self.best_path)
+                logger.info("epoch %d checkpoint saved to %s (score=%s)",
+                            self.epoch_id, self.best_path, value)
+        super().on_epoch_end(*a, **kw)
+
+
+class ExperimentTiming(Callback):
+    """Epoch wall time + rolling mean batch time (reference :325-371)."""
+
+    def __init__(self, batch_every=10, epoch_every=1, **_):
+        super().__init__()
+        self.batch_every = batch_every
+        self.epoch_every = epoch_every
+        self.batch_times = deque(maxlen=100)
+        self._epoch_start = None
+        self._batch_start = None
+
+    def on_epoch_begin(self, *a, **kw):
+        self._epoch_start = time.time()
+
+    def on_epoch_end(self, *a, **kw):
+        if self.epoch_every and self.epoch_id % self.epoch_every == 0:
+            logger.info("epoch %d took %.2fs", self.epoch_id,
+                        time.time() - self._epoch_start)
+        super().on_epoch_end(*a, **kw)
+
+    def on_batch_begin(self, *a, **kw):
+        self._batch_start = time.time()
+
+    def on_batch_end(self, *a, **kw):
+        self.batch_times.append(time.time() - self._batch_start)
+        if self.batch_every and self.batch_id % self.batch_every == 0:
+            logger.info("batch %d rolling mean time %.4fs", self.batch_id,
+                        float(np.mean(self.batch_times)))
+        super().on_batch_end(*a, **kw)
+
+
+class MetricsMonitor(Callback):
+    """Channel sender (NeptuneMonitor analog, reference :282-322):
+    batch/epoch losses to a MetricSink."""
+
+    def __init__(self, sink: Optional[MetricSink] = None, model_name="unet", **_):
+        super().__init__()
+        self.sink = sink or MetricSink()
+        self.model_name = model_name
+
+    def on_batch_end(self, metrics=None, **kw):
+        for name, value in (metrics or {}).items():
+            self.sink.send(f"{self.model_name} batch {name}",
+                           self.batch_id, float(value))
+        super().on_batch_end(**kw)
+
+    def on_epoch_end(self, *a, **kw):
+        if self.validation_datagen is not None or self.meta_valid is not None:
+            for name, value in self.get_validation_loss().items():
+                self.sink.send(f"{self.model_name} epoch_val {name}",
+                               self.epoch_id, float(np.asarray(value)))
+        super().on_epoch_end(*a, **kw)
+
+
+def default_unet_callbacks(callbacks_config) -> CallbackList:
+    """The reference's callbacks_unet list (src/models.py:295-307)."""
+    cc = callbacks_config
+    validate_with_map = cc.get("validate_with_map", False)
+    validation_cls = (ValidationMonitorSegmentation if validate_with_map
+                      else ValidationMonitor)
+    return CallbackList([
+        ExperimentTiming(),
+        TrainingMonitor(),
+        validation_cls(**cc),
+        ModelCheckpoint(cc["checkpoint_dir"], minimize=cc.get("minimize", True)),
+        EarlyStopping(patience=cc.get("patience", 30),
+                      minimize=cc.get("minimize", True)),
+        MetricsMonitor(),
+    ])

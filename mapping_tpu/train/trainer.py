@@ -1,0 +1,168 @@
+"""UNetTrainer: the trainable model component of a pipeline.
+
+Replaces the reference's torch Model transformer stack (BasePyTorchUNet /
+PyTorchUNet[Weighted][Stream], src/models.py:50-209 and
+src/steps/pytorch/models.py:18-171): builds the Flax network from the
+registry, owns the TrainState, runs the epoch/batch loop with callbacks, and
+serves batched softmax predictions. Train/eval/predict are each one jitted
+program; with a mesh the batch shards over the 'data' axis (nn.DataParallel's
+TPU-native replacement, SURVEY.md §2g).
+"""
+
+import os
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_tpu.models import build_network
+from mapping_tpu.train.callbacks import CallbackList, default_unet_callbacks
+from mapping_tpu.train.checkpoint import load_state, save_state
+from mapping_tpu.train.losses import make_loss_fn
+from mapping_tpu.train.state import create_train_state, make_optimizer
+from mapping_tpu.train.step import make_eval_step, make_predict_step, make_train_step
+from mapping_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+class UNetTrainer:
+    """Holds model + TrainState; fit/transform/save/load like the reference
+    transformers, but functional inside."""
+
+    def __init__(self, model_params: Dict[str, Any],
+                 optimizer_params: Dict[str, Any],
+                 loss_params: Dict[str, Any],
+                 training_config: Dict[str, Any],
+                 callbacks_config: Optional[Dict[str, Any]] = None,
+                 loss_name: str = "weighted",
+                 input_size=(256, 256),
+                 seed: int = 1234,
+                 mesh=None):
+        self.model = build_network(dict(model_params))
+        self.model_params = dict(model_params)
+        self.optimizer_params = dict(optimizer_params)
+        self.loss_params = dict(loss_params)
+        self.training_config = dict(training_config)
+        self.callbacks_config = dict(callbacks_config or {})
+        self.loss_name = loss_name
+        self.input_size = tuple(input_size)
+        self.seed = seed
+        self.mesh = mesh
+
+        self.state = None
+        self.validation_loss: Dict[int, Dict[str, Any]] = {}
+        self._loss_fn = make_loss_fn(loss_name, self.loss_params)
+        self._train_step = None
+        self._eval_step = None
+        self._predict_step = None
+
+    # ------------------------------------------------------------- state
+    def _ensure_state(self, steps_per_epoch: int = 1):
+        if self.state is not None:
+            return
+        op = self.optimizer_params
+        gamma = op.get("gamma")
+        if gamma in (1.0, None):
+            gamma = None  # flat LR: skip the schedule entirely
+        tx = make_optimizer(
+            lr=op.get("lr", 5e-4),
+            gamma=gamma,
+            decay_every_steps=max(steps_per_epoch, 1),
+            weight_decay=op.get("weight_decay", 0.0),
+        )
+        self.state = create_train_state(
+            self.model, jax.random.PRNGKey(self.seed),
+            (1,) + self.input_size + (3,), tx)
+        has_bs = bool(jax.tree_util.tree_leaves(self.state.batch_stats))
+        self._train_step = make_train_step(self._loss_fn, has_batch_stats=has_bs)
+        self._eval_step = make_eval_step(self._loss_fn)
+        self._predict_step = make_predict_step()
+
+    # --------------------------------------------------------------- fit
+    def fit(self, datagen, validation_datagen=None, meta_valid=None):
+        flow, steps = datagen
+        self._ensure_state(steps_per_epoch=steps)
+        self.validation_loss = {}
+        callbacks = self._build_callbacks()
+        callbacks.set_params(self, validation_datagen=validation_datagen,
+                             meta_valid=meta_valid)
+        callbacks.on_train_begin()
+        epochs = self.training_config.get("epochs", 1)
+        for epoch_id in range(epochs):
+            callbacks.on_epoch_begin()
+            for batch_id, batch in enumerate(flow):
+                callbacks.on_batch_begin()
+                self.state, metrics = self._train_step(self.state, batch)
+                callbacks.on_batch_end(metrics={
+                    k: float(v) for k, v in jax.device_get(metrics).items()})
+                if batch_id + 1 >= steps:
+                    break
+            callbacks.on_epoch_end()
+            if callbacks.training_break():
+                logger.info("early stopping at epoch %d", epoch_id)
+                break
+        callbacks.on_train_end()
+        # hand back the best checkpoint if one was kept
+        best = os.path.join(self.callbacks_config.get("checkpoint_dir", ""),
+                            "best.msgpack")
+        if self.callbacks_config.get("checkpoint_dir") and os.path.exists(best):
+            self.state = load_state(self.state, best)
+        return self
+
+    def _build_callbacks(self) -> CallbackList:
+        if self.callbacks_config:
+            return default_unet_callbacks(self.callbacks_config)
+        return CallbackList([])
+
+    # -------------------------------------------------------------- eval
+    def score_validation(self, validation_datagen) -> Dict[str, Any]:
+        """Average validation loss over the val datagen (the reference's
+        score_model, src/steps/pytorch/validation.py:51-84)."""
+        flow, steps = validation_datagen
+        losses = []
+        for batch_id, batch in enumerate(flow):
+            losses.append(float(self._eval_step(self.state, batch)))
+            if batch_id + 1 >= steps:
+                break
+        return {"sum": np.mean(losses) if losses else np.nan}
+
+    # ----------------------------------------------------------- predict
+    def predict_probs_datagen(self, datagen) -> Iterable[np.ndarray]:
+        """Yield per-batch softmax probabilities (N, H, W, C).
+
+        The reference's stream-mode generator transform
+        (src/models.py:123-146) with softmax fused on device.
+        """
+        flow, steps = datagen
+        self._ensure_state()
+        for batch_id, batch in enumerate(flow):
+            images = batch["image"] if isinstance(batch, dict) else batch
+            yield self._predict_step(self.state, images)
+            if batch_id + 1 >= steps:
+                break
+
+    def transform(self, datagen, validation_datagen=None, stream=False, **kw):
+        """{'multichannel_map_prediction': probs} like the reference
+        transformer output naming (src/models.py:110-146)."""
+        gen = self.predict_probs_datagen(datagen)
+        if stream:
+            def per_image():
+                for batch in gen:
+                    for item in np.asarray(batch):
+                        yield item
+            return {"multichannel_map_prediction": per_image()}
+        batches = [np.asarray(b) for b in gen]
+        probs = np.concatenate(batches) if batches else np.zeros((0,))
+        return {"multichannel_map_prediction": probs}
+
+    # ------------------------------------------------------------ persist
+    def save(self, filepath):
+        self._ensure_state()
+        save_state(self.state, filepath)
+
+    def load(self, filepath):
+        self._ensure_state()
+        self.state = load_state(self.state, filepath)
+        return self

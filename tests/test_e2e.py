@@ -1,0 +1,88 @@
+"""End-to-end: prepare_masks -> prepare_metadata -> train -> evaluate on the
+synthetic fixture, through the PipelineManager (the reference's de-facto
+dev_mode smoke test, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.fixtures.synthetic import generate
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_dir = os.path.join(str(root), "data")
+    generate(data_dir, n_train=8, n_val=4, seed=21)
+    params = {
+        "data_dir": data_dir,
+        "meta_dir": os.path.join(str(root), "meta"),
+        "experiment_dir": os.path.join(str(root), "experiment"),
+        "encoder": "from_scratch",
+        "n_filters": 8,
+        "repeat_blocks": 2,
+        "image_h": 64,
+        "image_w": 64,
+        "batch_size_train": 4,
+        "batch_size_inference": 4,
+        "epochs_nr": 10,
+        "lr": 0.003,
+        "gamma": 1.0,
+        "patience": 100,
+        "validate_with_map": 1,
+        "evaluation_data_sample": 4,
+        "dice_smooth": 1,
+    }
+    config_path = os.path.join(str(root), "config.yaml")
+    with open(config_path, "w") as f:
+        yaml.safe_dump({"parameters": params}, f)
+    return {"root": str(root), "config": config_path, "data_dir": data_dir}
+
+
+def test_full_cycle(workspace):
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"])
+    manager.prepare_masks(dev_mode=False)
+    manager.prepare_metadata(train_data=True, valid_data=True)
+
+    meta_path = os.path.join(manager.params.meta_dir, "metadata.csv")
+    assert os.path.exists(meta_path)
+
+    manager.train("unet", dev_mode=False)
+    ckpt = os.path.join(manager.params.experiment_dir, "transformers",
+                        "unet.msgpack")
+    assert os.path.exists(ckpt)
+
+    ap, ar = manager.evaluate("unet", dev_mode=False, chunk_size=None)
+    # easy synthetic data: a short training should reach decent AP
+    assert ap > 0.3, f"AP too low: {ap}"
+    assert os.path.exists(os.path.join(manager.params.experiment_dir,
+                                       "prediction.json"))
+
+
+def test_predict_on_dir(workspace):
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"])
+    pred_path = os.path.join(workspace["root"], "submission.json")
+    manager.predict_on_dir(
+        "unet", os.path.join(workspace["data_dir"], "val", "images"),
+        pred_path, chunk_size=2)
+    import json
+
+    with open(pred_path) as f:
+        prediction = json.load(f)
+    assert prediction
+    assert {"image_id", "category_id", "score", "segmentation",
+            "bbox"} <= set(prediction[0])
+
+
+def test_evaluate_tta_pipeline(workspace):
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"])
+    ap, ar = manager.evaluate("unet_tta", dev_mode=False, chunk_size=None)
+    assert ap > 0.3
