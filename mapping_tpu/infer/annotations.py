@@ -18,6 +18,11 @@ import numpy as np
 
 from mapping_tpu.ops import rle as rle_ops
 
+try:  # C++ single-pass extractor (cpp/rle.cpp); numpy fallback below
+    from mapping_tpu.utils import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
 
 def labeled_to_annotations(
     image_id: int,
@@ -40,6 +45,21 @@ def labeled_to_annotations(
         # scores are padded to max_instances on device; clamp (an image with
         # more instances than the pad keeps only the first max_instances)
         n_instances = min(int(layer.max()), len(layer_scores))
+        if n_instances == 0:
+            continue
+        h, w = layer.shape
+        if _native is not None and _native.available():
+            packed = _native.rle_instances(layer, n_instances)
+            for label_nr, (counts, bbox) in enumerate(packed, start=1):
+                annotations.append({
+                    "image_id": int(image_id),
+                    "category_id": int(category_id),
+                    "score": float(layer_scores[label_nr - 1]),
+                    "segmentation": {"size": [h, w],
+                                     "counts": counts.decode("utf-8")},
+                    "bbox": bbox,
+                })
+            continue
         for label_nr in range(1, n_instances + 1):
             mask = (layer == label_nr).astype(np.uint8)
             rle = rle_ops.encode(mask)

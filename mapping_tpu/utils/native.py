@@ -57,6 +57,11 @@ def _load():
     lib.rle_iou_single.argtypes = [
         ctypes.POINTER(ctypes.c_long), ctypes.c_long,
         ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_int]
+    lib.rle_instances.restype = ctypes.c_long
+    lib.rle_instances.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double)]
     _LIB = lib
     return _LIB
 
@@ -81,6 +86,32 @@ def string_to_counts(s):
     out = (ctypes.c_long * (n + 1))()
     m = lib.rle_string_to_counts(s, n, out)
     return [out[i] for i in range(m)]
+
+
+def rle_instances(labels, n_instances):
+    """Labeled int32 (H, W) map -> per-instance (counts_bytes, bbox) in one
+    C++ pass (cpp/rle.cpp rle_instances). Returns list of n_instances
+    (bytes, [x, y, w, h]) tuples."""
+    import numpy as np
+
+    lib = _load()
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    h, w = labels.shape
+    cap = max(1 << 16, 24 * (h * w // 2 + n_instances * 8))
+    buf = ctypes.create_string_buffer(cap)
+    offsets = (ctypes.c_long * (n_instances + 1))()
+    bbox = (ctypes.c_double * (n_instances * 4))()
+    used = lib.rle_instances(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        h, w, n_instances, buf, cap, offsets, bbox)
+    if used < 0:
+        raise MemoryError("rle_instances output buffer too small")
+    out = []
+    for i in range(n_instances):
+        counts = buf.raw[offsets[i]:offsets[i + 1]]
+        out.append((counts, [bbox[4 * i], bbox[4 * i + 1],
+                             bbox[4 * i + 2], bbox[4 * i + 3]]))
+    return out
 
 
 def rle_iou(dt_rles, gt_rles, iscrowd):
