@@ -41,7 +41,8 @@ def _build(batch, size):
         logits = model.apply(variables, images, train=False)
         probs = jax.nn.softmax(logits, axis=-1)
         labels, scores, areas = fused_postprocess(
-            probs, target_size=(300, 300), category_layers=(1, 1))
+            probs, target_size=(300, 300), category_layers=(1, 1),
+            active_layers=(1,))
         # scalar checksum: forces full execution when pulled to host (the
         # axon tunnel's block_until_ready does not reliably block on large
         # device arrays, so timing syncs on this scalar instead)
@@ -85,7 +86,7 @@ def _host_postprocess(probs):
 def main():
     import jax
 
-    batch = 8
+    batch = 32
     size = 512
     variables, fused, forward_only = _build(batch, size)
     rng = np.random.RandomState(0)

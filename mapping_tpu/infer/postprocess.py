@@ -58,7 +58,7 @@ def _restore_erased(binary, eroded):
 
 @partial(jax.jit, static_argnames=("target_size", "category_layers",
                                    "erode_size", "dilate_size",
-                                   "max_instances"))
+                                   "max_instances", "active_layers"))
 def fused_postprocess(
     probs,
     target_size: Tuple[int, int] = (300, 300),
@@ -66,12 +66,20 @@ def fused_postprocess(
     erode_size: int = 0,
     dilate_size: int = 0,
     max_instances: int = MAX_INSTANCES,
+    active_layers: Tuple[int, ...] = None,
 ):
     """probs (B, H, W, C) float -> labels (B, L, th, tw) int32,
     scores (B, L, max_instances) f32, areas (B, L, max_instances) i32.
 
     L = sum(category_layers); layer l uses its category's prob channel for
     scoring (searchsorted mapping, reference src/postprocessing.py:274-283).
+
+    active_layers: layer indices that actually need CCL/scores (layers whose
+    category is emitted — CATEGORY_IDS[c] is None for background, and the
+    reference never reads background instances either: create_annotations
+    skips them (src/utils.py:95-99) and the scoring path drops layer 0
+    features (src/models.py:457-462)). Inactive layers return zero labels.
+    None means all layers.
     """
     b = probs.shape[0]
     th, tw = target_size
@@ -80,22 +88,27 @@ def fused_postprocess(
         (b, th, tw, probs.shape[-1]), "linear")
 
     specs = layer_thresholds(category_layers)
+    L = len(specs)
+    if active_layers is None:
+        active_layers = tuple(range(L))
+    active = list(active_layers)
+
     binary = jnp.stack(
-        [probs_r[..., ch] > t for (t, ch) in specs], axis=1)  # (B, L, th, tw)
+        [probs_r[..., specs[l][1]] > specs[l][0] for l in active], axis=1)
 
     if erode_size > 0:
         eroded = erode(binary.astype(jnp.uint8), erode_size).astype(bool)
         binary = _restore_erased(binary, eroded)
 
-    labels = connected_components(binary)  # (B, L, th, tw)
+    labels_a = connected_components(binary)  # (B, LA, th, tw)
 
     if dilate_size > 0:
         # reference dilates the *labeled* image (grayscale max dilation,
         # src/postprocessing.py:159-180)
-        labels = dilate(labels, dilate_size)
+        labels_a = dilate(labels_a, dilate_size)
 
-    layer_probs = jnp.stack([probs_r[..., ch] for (_, ch) in specs], axis=1)
-    flat_labels = labels.reshape((-1, th, tw))
+    layer_probs = jnp.stack([probs_r[..., specs[l][1]] for l in active], axis=1)
+    flat_labels = labels_a.reshape((-1, th, tw))
     flat_probs = layer_probs.reshape((-1, th, tw))
     areas = jax.vmap(lambda l: instance_areas(l, max_instances))(flat_labels)
     sums = jax.vmap(
@@ -104,12 +117,31 @@ def fused_postprocess(
     areas_i = areas[:, 1:]
     sums_i = sums[:, 1:]
     safe = jnp.maximum(areas_i, 1).astype(jnp.float32)
-    scores = (sums_i / safe) * jnp.sqrt(areas_i.astype(jnp.float32))
-    scores = jnp.where(areas_i > 0, scores, 0.0)
-    L = len(specs)
-    return (labels,
-            scores.reshape(b, L, max_instances),
-            areas_i.reshape(b, L, max_instances))
+    scores_a = (sums_i / safe) * jnp.sqrt(areas_i.astype(jnp.float32))
+    scores_a = jnp.where(areas_i > 0, scores_a, 0.0)
+
+    la = len(active)
+    labels = jnp.zeros((b, L, th, tw), jnp.int32)
+    scores = jnp.zeros((b, L, max_instances), jnp.float32)
+    areas_out = jnp.zeros((b, L, max_instances), jnp.int32)
+    idx = jnp.asarray(active)
+    labels = labels.at[:, idx].set(labels_a)
+    scores = scores.at[:, idx].set(scores_a.reshape(b, la, max_instances))
+    areas_out = areas_out.at[:, idx].set(
+        areas_i.reshape(b, la, max_instances))
+    return labels, scores, areas_out
+
+
+def active_layers_for(category_ids, category_layers) -> Tuple[int, ...]:
+    """Layer indices whose category is emitted (CATEGORY_IDS entry not None)."""
+    out = []
+    layer = 0
+    for cat_ch, n_layers in enumerate(category_layers):
+        for _ in range(n_layers):
+            if category_ids[cat_ch] is not None:
+                out.append(layer)
+            layer += 1
+    return tuple(out)
 
 
 def postprocess_probabilities(probs, **kwargs):

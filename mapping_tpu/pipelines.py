@@ -29,7 +29,8 @@ from mapping_tpu.constants import (CATEGORY_IDS, CATEGORY_LAYERS, SEED,
                                    X_COLUMNS, Y_COLUMNS)
 from mapping_tpu.data.loader import SegmentationLoader
 from mapping_tpu.data.tta import tta_specs, tta_wrap_predict
-from mapping_tpu.infer.postprocess import postprocess_probabilities
+from mapping_tpu.infer.postprocess import (active_layers_for,
+                                           postprocess_probabilities)
 from mapping_tpu.scoring import (FeatureExtractor, NonMaximumSupression,
                                  ScoringGBM, ScoringRandomForest,
                                  features_for_image)
@@ -138,6 +139,8 @@ class UNetPipeline:
                 category_layers=self.category_layers,
                 erode_size=int(post.erode_selem_size),
                 dilate_size=int(post.dilate_selem_size),
+                active_layers=active_layers_for(CATEGORY_IDS,
+                                                self.category_layers),
             )
             for lab, sc in zip(labels, scores):
                 trimmed = [list(sc[l][: int(lab[l].max())])

@@ -201,6 +201,7 @@ class ValidationMonitorSegmentation(ValidationMonitor):
         from mapping_tpu.constants import CATEGORY_IDS
         from mapping_tpu.eval import coco_evaluation
         from mapping_tpu.infer import create_annotations, postprocess_probabilities
+        from mapping_tpu.infer.postprocess import active_layers_for
 
         gt_path = os.path.join(self.data_dir, "val", "annotation.json")
         image_ids = list(self.meta_valid["ImageId"].values)
@@ -209,7 +210,8 @@ class ValidationMonitorSegmentation(ValidationMonitor):
         for probs in self.trainer.predict_probs_datagen(self.validation_datagen):
             probs = np.asarray(probs)
             labels, scores, _ = postprocess_probabilities(
-                probs, target_size=(300, 300), category_layers=(1, 1))
+                probs, target_size=(300, 300), category_layers=(1, 1),
+                active_layers=active_layers_for(CATEGORY_IDS, (1, 1)))
             batch_ids = image_ids[idx: idx + probs.shape[0]]
             idx += probs.shape[0]
             annotations.extend(create_annotations(
