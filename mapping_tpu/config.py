@@ -97,6 +97,10 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "dice_smooth": 1,
     "dice_activation": "softmax",
     "validate_with_map": 1,
+    # observability / recovery
+    "resume_training": 1,
+    "profile_trace": 0,
+    "monitor_images": 0,
     # regularization
     "use_batch_norm": 1,
     "l2_reg_conv": 0.0001,
@@ -213,6 +217,13 @@ def build_config(config_path: Optional[str] = None,
                 "patience": params.patience,
                 "data_dir": params.data_dir,
                 "small_annotations_size": params.small_annotations_size,
+                "resume": bool(params.resume_training),
+                "profile_trace_dir": (
+                    os.path.join(params.experiment_dir, "profile")
+                    if params.profile_trace else None),
+                "image_monitor_dir": (
+                    os.path.join(params.experiment_dir, "val_images")
+                    if params.monitor_images else None),
             },
         },
         "tta_generator": {"flip_ud": True, "flip_lr": True, "rotation": True,

@@ -358,13 +358,125 @@ class MetricsMonitor(Callback):
         super().on_epoch_end(*a, **kw)
 
 
+class ResumeCheckpoint(Callback):
+    """Every-epoch 'last' checkpoint + resume (failure recovery, SURVEY.md §5:
+    the reference could only resume at Step granularity via its transformer
+    cache; this restores params+opt state+step mid-run)."""
+
+    def __init__(self, checkpoint_dir, epoch_every=1, **_):
+        super().__init__()
+        self.checkpoint_dir = checkpoint_dir
+        self.epoch_every = epoch_every
+
+    @property
+    def last_path(self):
+        return os.path.join(self.checkpoint_dir, "last.msgpack")
+
+    def on_train_begin(self, *a, **kw):
+        super().on_train_begin(*a, **kw)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        if os.path.exists(self.last_path):
+            from mapping_tpu.train.checkpoint import load_state
+
+            self.trainer.state = load_state(self.trainer.state, self.last_path)
+            logger.info("resumed from %s at step %d", self.last_path,
+                        int(np.asarray(self.trainer.state.step)))
+
+    def on_epoch_end(self, *a, **kw):
+        if self.epoch_every and self.epoch_id % self.epoch_every == 0:
+            from mapping_tpu.train.checkpoint import save_state
+
+            save_state(self.trainer.state, self.last_path)
+        super().on_epoch_end(*a, **kw)
+
+
+class ProfilerTrace(Callback):
+    """jax.profiler trace of a few training steps (SURVEY.md §5 tracing:
+    the reference only had wall-clock ExperimentTiming)."""
+
+    def __init__(self, trace_dir, start_batch=10, n_batches=5, **_):
+        super().__init__()
+        self.trace_dir = trace_dir
+        self.start_batch = start_batch
+        self.n_batches = n_batches
+        self._active = False
+        self._done = False
+
+    def on_batch_begin(self, *a, **kw):
+        import jax
+
+        if (not self._done and not self._active
+                and self.batch_id == self.start_batch):
+            os.makedirs(self.trace_dir, exist_ok=True)
+            jax.profiler.start_trace(self.trace_dir)
+            self._active = True
+
+    def on_batch_end(self, *a, **kw):
+        import jax
+
+        if self._active and self.batch_id >= self.start_batch + self.n_batches:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+            logger.info("profiler trace written to %s", self.trace_dir)
+        super().on_batch_end(**kw)
+
+    def on_train_end(self, *a, **kw):
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
+class PredictionImageMonitor(Callback):
+    """Save up to `image_nr` prediction-vs-GT mask pairs per epoch
+    (NeptuneMonitorSegmentation's image channels, src/callbacks.py:33-105 —
+    written as PNGs under the experiment dir instead of a neptune channel)."""
+
+    def __init__(self, output_dir, image_nr=4, epoch_every=1, **_):
+        super().__init__()
+        self.output_dir = output_dir
+        self.image_nr = image_nr
+        self.epoch_every = epoch_every
+
+    def on_epoch_end(self, *a, **kw):
+        if (self.validation_datagen is not None and self.epoch_every
+                and self.epoch_id % self.epoch_every == 0):
+            self._save_images()
+        super().on_epoch_end(*a, **kw)
+
+    def _save_images(self):
+        from imageio import imwrite
+
+        flow, steps = self.validation_datagen
+        saved = 0
+        out_dir = os.path.join(self.output_dir, f"epoch_{self.epoch_id}")
+        os.makedirs(out_dir, exist_ok=True)
+        for batch in flow:
+            if "target" not in batch:
+                break
+            probs = self.trainer._predict_step(self.trainer.state,
+                                               batch["image"])
+            pred = np.asarray(probs)[..., -1] > 0.5
+            gt = np.asarray(batch["target"])[..., 0] > 0.5
+            for i in range(pred.shape[0]):
+                if saved >= self.image_nr:
+                    return
+                pair = np.concatenate([gt[i], pred[i]], axis=1)
+                imwrite(os.path.join(out_dir, f"val_{saved}.png"),
+                        (pair * 255).astype(np.uint8))
+                saved += 1
+            break
+
+
 def default_unet_callbacks(callbacks_config) -> CallbackList:
     """The reference's callbacks_unet list (src/models.py:295-307)."""
     cc = callbacks_config
     validate_with_map = cc.get("validate_with_map", False)
     validation_cls = (ValidationMonitorSegmentation if validate_with_map
                       else ValidationMonitor)
-    return CallbackList([
+    callbacks = [
         ExperimentTiming(),
         TrainingMonitor(),
         validation_cls(**cc),
@@ -372,4 +484,12 @@ def default_unet_callbacks(callbacks_config) -> CallbackList:
         EarlyStopping(patience=cc.get("patience", 30),
                       minimize=cc.get("minimize", True)),
         MetricsMonitor(),
-    ])
+    ]
+    if cc.get("resume", True) and cc.get("checkpoint_dir"):
+        callbacks.append(ResumeCheckpoint(cc["checkpoint_dir"]))
+    if cc.get("profile_trace_dir"):
+        callbacks.append(ProfilerTrace(cc["profile_trace_dir"]))
+    if cc.get("image_monitor_dir"):
+        callbacks.append(PredictionImageMonitor(cc["image_monitor_dir"],
+                                                image_nr=cc.get("image_nr", 4)))
+    return CallbackList(callbacks)

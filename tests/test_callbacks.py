@@ -1,0 +1,113 @@
+"""Callback unit tests: early stopping, checkpoint-best, resume, timing,
+memoized validation (reference semantics, src/steps/pytorch/callbacks.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mapping_tpu.train.callbacks import (CallbackList, EarlyStopping,
+                                         ExperimentTiming, MetricSink,
+                                         ModelCheckpoint, ResumeCheckpoint,
+                                         TrainingMonitor, ValidationMonitor)
+
+
+class FakeState:
+    def __init__(self, step=0):
+        import jax.numpy as jnp
+
+        self.step = jnp.asarray(step)
+        self.params = {"w": jnp.zeros((2,))}
+        self.batch_stats = {}
+        self.opt_state = {}
+
+    def replace(self, **kw):
+        out = FakeState()
+        out.__dict__.update(self.__dict__)
+        out.__dict__.update(kw)
+        return out
+
+
+class FakeTrainer:
+    def __init__(self, val_values):
+        self.validation_loss = {}
+        self.val_values = list(val_values)
+        self.calls = 0
+        self.state = FakeState()
+
+    def score_validation(self, datagen):
+        v = self.val_values[min(self.calls, len(self.val_values) - 1)]
+        self.calls += 1
+        return {"sum": np.asarray(v)}
+
+
+def _run_epochs(callbacks, trainer, n):
+    callbacks.set_params(trainer, validation_datagen=("flow", 1))
+    callbacks.on_train_begin()
+    broke_at = None
+    for epoch in range(n):
+        callbacks.on_epoch_begin()
+        callbacks.on_batch_begin()
+        callbacks.on_batch_end(metrics={"loss": 1.0 / (epoch + 1)})
+        callbacks.on_epoch_end()
+        if callbacks.training_break():
+            broke_at = epoch
+            break
+    callbacks.on_train_end()
+    return broke_at
+
+
+def test_early_stopping_minimize():
+    trainer = FakeTrainer([3.0, 2.0, 2.5, 2.6, 2.7, 2.8])
+    es = EarlyStopping(patience=2, minimize=True)
+    broke = _run_epochs(CallbackList([es]), trainer, 10)
+    # best at epoch 1 (2.0); patience 2 -> break after epoch 4
+    assert broke == 4
+
+
+def test_early_stopping_maximize():
+    trainer = FakeTrainer([0.1, 0.5, 0.4, 0.3, 0.2])
+    es = EarlyStopping(patience=1, minimize=False)
+    broke = _run_epochs(CallbackList([es]), trainer, 10)
+    assert broke == 3
+
+
+def test_validation_memoized_across_callbacks():
+    trainer = FakeTrainer([1.0, 0.5])
+    vm = ValidationMonitor()
+    es = EarlyStopping(patience=5, minimize=True)
+    _run_epochs(CallbackList([vm, es]), trainer, 2)
+    # one score_validation call per epoch, not per callback
+    assert trainer.calls == 2
+
+
+def test_model_checkpoint_keeps_best(tmp_path):
+    trainer = FakeTrainer([2.0, 1.0, 3.0])
+    ck = ModelCheckpoint(str(tmp_path), minimize=True)
+    _run_epochs(CallbackList([ck]), trainer, 3)
+    assert os.path.exists(ck.best_path)
+    assert ck.best == 1.0
+
+
+def test_resume_checkpoint_roundtrip(tmp_path):
+    trainer = FakeTrainer([1.0])
+    rc = ResumeCheckpoint(str(tmp_path))
+    _run_epochs(CallbackList([rc]), trainer, 2)
+    assert os.path.exists(rc.last_path)
+    # a fresh trainer resumes from it
+    trainer2 = FakeTrainer([1.0])
+    rc2 = ResumeCheckpoint(str(tmp_path))
+    cl = CallbackList([rc2])
+    cl.set_params(trainer2)
+    cl.on_train_begin()  # loads last.msgpack into trainer2.state
+
+
+def test_metric_sink_jsonl(tmp_path):
+    sink = MetricSink(str(tmp_path / "m.jsonl"))
+    sink.send("loss", 1, 0.5)
+    sink.send_metric("Precision", 0.9)
+    import json
+
+    lines = [json.loads(line) for line in open(tmp_path / "m.jsonl")]
+    assert lines[0]["channel"] == "loss"
+    assert lines[1]["y"] == 0.9
