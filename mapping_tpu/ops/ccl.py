@@ -118,7 +118,7 @@ def _renumber(labels):
     return out.reshape(shape).astype(jnp.int32)
 
 
-def connected_components(mask, max_iters=None, renumber=True):
+def connected_components(mask, max_iters=None, renumber=True, backend="auto"):
     """Label 4-connected components of a binary mask batch on device.
 
     Args:
@@ -128,6 +128,9 @@ def connected_components(mask, max_iters=None, renumber=True):
             scipy.ndimage.label ordering (components numbered by their
             first pixel in row-major order — which equals ordering by
             minimal linear index, the same invariant our roots provide).
+        backend: 'auto' picks the Pallas whole-image-in-VMEM kernel on TPU
+            (ops/ccl_pallas.py, ~2x the XLA-scan path) and the jnp
+            implementation elsewhere; 'jnp' / 'pallas' force one.
 
     Returns:
         int32 labels, same shape as mask.
@@ -137,7 +140,15 @@ def connected_components(mask, max_iters=None, renumber=True):
     h, w = mask.shape[-2], mask.shape[-1]
     if max_iters is None:
         max_iters = h + w
-    labels = _label_raw(mask_b, max_iters)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
+    if backend == "pallas":
+        from mapping_tpu.ops.ccl_pallas import label_raw_pallas
+
+        flat = mask_b.reshape((-1, h, w))
+        labels = label_raw_pallas(flat, max_iters).reshape(mask.shape)
+    else:
+        labels = _label_raw(mask_b, max_iters)
     if renumber:
         labels = _renumber(labels)
     return labels
