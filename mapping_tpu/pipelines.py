@@ -203,7 +203,8 @@ class ScoringModelPipeline:
         features = []
         for (labels, _), probs, anns in zip(
                 out["y_pred"], probs_by_image, annotations):
-            features.append(features_for_image(labels, probs, anns))
+            features.append(features_for_image(
+                labels, probs, anns, category_layers=self.category_layers))
         self.model.fit(features)
         os.makedirs(os.path.dirname(self.cache_path), exist_ok=True)
         self.model.save(self.cache_path)
@@ -222,6 +223,7 @@ class ScoringInferencePipeline:
         self.cache_dir = config.env.cache_dirpath
         self.base = base_factory(config)
         self.model = _make_scoring_model(config)
+        self.category_layers = _category_layers(config)
         self.nms = NonMaximumSupression(
             iou_threshold=config.postprocessor.nms.iou_threshold)
 
@@ -240,7 +242,8 @@ class ScoringInferencePipeline:
         self.model.load(self.cache_path)
         out = self.base.transform(data)
         probs_by_image = _collect_probabilities(self.base, data)
-        features = [features_for_image(labels, probs)
+        features = [features_for_image(labels, probs,
+                                       category_layers=self.category_layers)
                     for (labels, _), probs in zip(out["y_pred"],
                                                   probs_by_image)]
         scores = self.model.transform(features)["scores"]

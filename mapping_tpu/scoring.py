@@ -77,33 +77,41 @@ def features_for_mask(mask, probabilities, threshold, iou=None) -> Dict:
     }
 
 
-def _layer_thresholds():
+def _layer_thresholds(category_layers):
     thresholds = []
-    for n in CATEGORY_LAYERS:
+    for n in category_layers:
         step = 1.0 / (n + 1)
         thresholds.extend(np.arange(step, 1.0 - 1e-9, step))
     return thresholds
 
 
-def features_for_image(labels, probabilities, annotations=None) -> List[pd.DataFrame]:
+def features_for_image(labels, probabilities, annotations=None,
+                       category_layers=None,
+                       category_ids=None) -> List[pd.DataFrame]:
     """Per threshold-layer feature tables for one image.
 
     labels: (L, H, W) labeled instances; probabilities: (C, H, W) or
     (H, W, C) category probability maps; annotations: {category_id: [ann]}
     for GT IoU targets on the train path (reference get_features_for_image,
-    src/postprocessing.py:261-283).
+    src/postprocessing.py:261-283). category_layers/category_ids default to
+    the global constants but follow the run's override (e.g. [1, 19] for
+    scoring pipelines).
     """
+    if category_layers is None:
+        category_layers = CATEGORY_LAYERS
+    if category_ids is None:
+        category_ids = CATEGORY_IDS
     if probabilities.ndim == 3 and probabilities.shape[-1] <= 8:
         probabilities = np.moveaxis(probabilities, -1, 0)
     annotations = annotations or {}
-    thresholds = _layer_thresholds()
-    layer_to_cat = np.searchsorted(np.cumsum(CATEGORY_LAYERS),
+    thresholds = _layer_thresholds(category_layers)
+    layer_to_cat = np.searchsorted(np.cumsum(category_layers),
                                    np.arange(labels.shape[0]), side="right")
     image_features = []
     for layer_nr in range(labels.shape[0]):
         cat_nr = layer_to_cat[layer_nr]
         cat_probs = probabilities[cat_nr]
-        cat_anns = annotations.get(CATEGORY_IDS[cat_nr], [])
+        cat_anns = annotations.get(category_ids[cat_nr], [])
         layer = labels[layer_nr]
         iou_matrix = _gt_iou_matrix(layer, cat_anns)
         rows = []
