@@ -86,3 +86,15 @@ def test_evaluate_tta_pipeline(workspace):
     manager = PipelineManager(workspace["config"])
     ap, ar = manager.evaluate("unet_tta", dev_mode=False, chunk_size=None)
     assert ap > 0.3
+
+
+def test_evaluate_padded_pipeline(workspace):
+    """unet_padded: replicate-pad inference + center-crop undo
+    (reference src/pipelines.py:55-91)."""
+    from mapping_tpu.manager import PipelineManager
+
+    # default h_pad=10: 300 -> 320, divisible by the scratch UNet's 2 pools;
+    # center crop back to the 300x300 tile so predictions align with GT
+    manager = PipelineManager(workspace["config"])
+    ap, ar = manager.evaluate("unet_padded", dev_mode=False, chunk_size=None)
+    assert ap > 0.15

@@ -91,6 +91,39 @@ def test_registry_build():
         build_network({"encoder": "nope"})
 
 
+def test_torch_convert_vgg_features():
+    """VGG conversion: features.N.weight/bias -> conv_N kernel/bias graft."""
+    import flax
+
+    from mapping_tpu.models.torch_convert import convert_vgg_features
+
+    model = UNet11(num_filters=4, dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    params = variables["params"]
+    rng = np.random.RandomState(0)
+    state = {}
+    for name, leaf in params.items():
+        if not name.startswith("conv_"):
+            continue
+        idx = name.split("_")[1]
+        k = leaf["kernel"]
+        state[f"features.{idx}.weight"] = np.transpose(
+            rng.randn(*np.shape(k)), (3, 2, 0, 1)).astype(np.float32)
+        state[f"features.{idx}.bias"] = rng.randn(
+            *np.shape(leaf["bias"])).astype(np.float32)
+    converted = convert_vgg_features(state)
+    new_params = dict(params)
+    for name, leaves in converted.items():
+        assert np.shape(new_params[name]["kernel"]) == np.shape(leaves["kernel"])
+        new_params[name] = leaves
+    out = model.apply({"params": new_params}, x, train=False)
+    assert out.shape == (1, 64, 64, 2)
+    np.testing.assert_allclose(
+        np.asarray(new_params["conv_0"]["kernel"]),
+        np.transpose(state["features.0.weight"], (2, 3, 1, 0)))
+
+
 def test_torch_convert_resnet_roundtrip():
     """Fabricate a torchvision-shaped state_dict and graft it in."""
     import flax
