@@ -1,0 +1,24 @@
+# Convenience targets (reference repo ships a Makefile too).
+
+.PHONY: test test-fast bench native clean-native e2e dryrun
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q --ignore=tests/test_e2e.py --ignore=tests/test_scoring_e2e.py
+
+bench:
+	python bench.py
+
+native:
+	g++ -O3 -shared -fPIC -std=c++17 cpp/rle.cpp -o cpp/librle.so
+
+clean-native:
+	rm -f cpp/librle.so
+
+e2e:
+	python -m pytest tests/test_e2e.py tests/test_scoring_e2e.py -q
+
+dryrun:
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

@@ -97,6 +97,9 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "dice_smooth": 1,
     "dice_activation": "softmax",
     "validate_with_map": 1,
+    # parallelism / memory
+    "data_parallel": 0,   # shard the batch over all devices ('data' axis)
+    "remat": 0,           # jax.checkpoint the forward (memory for FLOPs)
     # observability / recovery
     "resume_training": 1,
     "profile_trace": 0,

@@ -61,6 +61,7 @@ def build_network(model_params: Dict[str, Any], dtype=jnp.bfloat16):
     optional per-family overrides. Returns an un-initialized Flax module.
     """
     params = dict(model_params)
+    dtype = params.pop("dtype", dtype)
     encoder = params.pop("encoder", "ResNet101")
     if encoder == "from_scratch":
         cfg = {k: params[k] for k in _SCRATCH_KEYS if k in params}

@@ -107,6 +107,8 @@ def _ccl_kernel(mask_ref, labels_ref, *, max_iters):
     col_starts = mask_i * (1 - _shift_right(mask_i, 1, 0, 0))
 
     def body(state):
+        # one row+col round per convergence check (a second round per check
+        # overflows the 16 MB scoped-VMEM budget at 304x304)
         labels, _, it = state
         new = jnp.where(fg, _seg_min_both(labels, row_starts, 1), _INF)
         new = jnp.where(fg, _seg_min_both(new, col_starts, 0), _INF)

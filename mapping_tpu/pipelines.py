@@ -79,6 +79,8 @@ class UNetPipeline:
             loss_name=loss_name,
             input_size=config.loader.size,
             seed=SEED,
+            mesh="auto" if config.params.get("data_parallel", 0) else None,
+            remat=bool(config.params.get("remat", 0)),
         )
         self.category_layers = _category_layers(config)
 

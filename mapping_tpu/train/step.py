@@ -16,34 +16,39 @@ import jax.numpy as jnp
 from mapping_tpu.parallel.mesh import shard_batch, shard_pytree_replicated
 
 
-def make_train_step(loss_fn: Callable, has_batch_stats: bool = True):
+def make_train_step(loss_fn: Callable, has_batch_stats: bool = True,
+                    remat: bool = False):
     """Returns jitted (state, batch) -> (state, metrics).
 
     batch: {'image': (N, H, W, 3) f32, 'target': (N, H, W, 1+K)}.
     loss_fn(logits, target) -> scalar.
+
+    The old state's buffers are donated — params/opt-state update in place in
+    HBM instead of being copied (the torch loop mutated in place too;
+    donation is the jit-world equivalent). remat=True wraps the forward in
+    jax.checkpoint, trading recompute for activation memory at large batch.
     """
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
         dropout_rng = state.next_dropout_rng()
 
-        def compute_loss(params):
+        def forward(params, images):
             variables = {"params": params}
             if has_batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                logits, new_model_state = state.apply_fn(
-                    variables,
-                    batch["image"],
-                    train=True,
-                    rngs={"dropout": dropout_rng},
-                    mutable=["batch_stats"],
-                )
-            else:
-                logits = state.apply_fn(
-                    variables, batch["image"], train=True,
-                    rngs={"dropout": dropout_rng},
-                )
-                new_model_state = {}
+                return state.apply_fn(
+                    variables, images, train=True,
+                    rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+            logits = state.apply_fn(
+                variables, images, train=True, rngs={"dropout": dropout_rng})
+            return logits, {}
+
+        if remat:
+            forward = jax.checkpoint(forward)
+
+        def compute_loss(params):
+            logits, new_model_state = forward(params, batch["image"])
             loss = loss_fn(logits, batch["target"])
             return loss, new_model_state
 

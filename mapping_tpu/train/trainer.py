@@ -39,7 +39,8 @@ class UNetTrainer:
                  loss_name: str = "weighted",
                  input_size=(256, 256),
                  seed: int = 1234,
-                 mesh=None):
+                 mesh=None,
+                 remat: bool = False):
         self.model = build_network(dict(model_params))
         self.model_params = dict(model_params)
         self.optimizer_params = dict(optimizer_params)
@@ -49,6 +50,14 @@ class UNetTrainer:
         self.loss_name = loss_name
         self.input_size = tuple(input_size)
         self.seed = seed
+        self.remat = remat
+        if mesh == "auto":
+            # data-parallel over every visible device (the nn.DataParallel
+            # default of the reference, src/models.py:65); global batch size
+            # must be divisible by the device count
+            from mapping_tpu.parallel import make_mesh
+
+            mesh = make_mesh() if len(jax.devices()) > 1 else None
         self.mesh = mesh
 
         self.state = None
@@ -75,10 +84,22 @@ class UNetTrainer:
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(self.seed),
             (1,) + self.input_size + (3,), tx)
+        if self.mesh is not None:
+            from mapping_tpu.parallel import shard_pytree_replicated
+
+            self.state = shard_pytree_replicated(self.state, self.mesh)
         has_bs = bool(jax.tree_util.tree_leaves(self.state.batch_stats))
-        self._train_step = make_train_step(self._loss_fn, has_batch_stats=has_bs)
+        self._train_step = make_train_step(self._loss_fn, has_batch_stats=has_bs,
+                                           remat=self.remat)
         self._eval_step = make_eval_step(self._loss_fn)
         self._predict_step = make_predict_step()
+
+    def _place_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        from mapping_tpu.parallel import shard_batch
+
+        return shard_batch(batch, self.mesh)
 
     # --------------------------------------------------------------- fit
     def fit(self, datagen, validation_datagen=None, meta_valid=None):
@@ -94,6 +115,7 @@ class UNetTrainer:
             callbacks.on_epoch_begin()
             for batch_id, batch in enumerate(flow):
                 callbacks.on_batch_begin()
+                batch = self._place_batch(batch)
                 self.state, metrics = self._train_step(self.state, batch)
                 callbacks.on_batch_end(metrics={
                     k: float(v) for k, v in jax.device_get(metrics).items()})
@@ -139,6 +161,10 @@ class UNetTrainer:
         self._ensure_state()
         for batch_id, batch in enumerate(flow):
             images = batch["image"] if isinstance(batch, dict) else batch
+            if self.mesh is not None:
+                from mapping_tpu.parallel import shard_batch
+
+                images = shard_batch(images, self.mesh)
             yield self._predict_step(self.state, images)
             if batch_id + 1 >= steps:
                 break

@@ -66,10 +66,11 @@ def test_train_step_data_parallel_mesh():
     loss_fn = make_loss_fn("weighted", {"imsize": (32, 32)})
     step = make_train_step(loss_fn)
 
+    # fresh states per run: the train step donates its input state buffers
     state_sharded, batch_sharded = place_for_mesh(state, batch, mesh)
     state1, m1 = step(state_sharded, batch_sharded)
     # single-device run must agree with the sharded run bit-for-bit-ish
-    state2, m2 = step(state, batch)
+    state2, m2 = step(_make_state(), batch)
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
     p1 = jax.tree_util.tree_leaves(state1.params)[0]
     p2 = jax.tree_util.tree_leaves(state2.params)[0]
