@@ -129,13 +129,17 @@ def prepare_image_targets(
             "sizes": np.ones((h, w), np.int32)}
     if n == 0:
         return outs
+    # bucket the object-stack pad so sparse images don't pay for 128 scan
+    # slots (compiles one program per bucket, reused across the dataset)
+    pad = next(b for b in (8, 16, 32, 64, MAX_OBJECTS)
+               if b >= min(n, MAX_OBJECTS))
     chunks = []
-    for start in range(0, n, MAX_OBJECTS):
-        chunk = annotation_masks[start:start + MAX_OBJECTS]
-        stack = np.zeros((MAX_OBJECTS, h, w), bool)
+    for start in range(0, n, pad):
+        chunk = annotation_masks[start:start + pad]
+        stack = np.zeros((pad, h, w), bool)
         for i, m in enumerate(chunk):
             stack[i] = m.astype(bool)
-        valid = np.zeros((MAX_OBJECTS,), bool)
+        valid = np.zeros((pad,), bool)
         valid[: len(chunk)] = True
         chunks.append((stack, valid))
     if len(chunks) > 1:
