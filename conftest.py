@@ -6,7 +6,6 @@
 # backends have not initialized yet at conftest import time, so this wins as
 # long as no test-session code touched jax.devices() first.
 import os
-import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")

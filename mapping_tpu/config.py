@@ -12,16 +12,7 @@ from typing import Any, Dict, Optional
 
 import yaml
 
-from mapping_tpu.constants import (
-    CATEGORY_IDS,
-    CATEGORY_LAYERS,
-    MEAN,
-    SEED,
-    STD,
-    X_COLUMNS,
-    Y_COLUMNS,
-    Y_COLUMNS_SCORING,
-)
+from mapping_tpu.constants import SEED, X_COLUMNS, Y_COLUMNS
 
 
 class AttrDict(dict):

@@ -22,7 +22,6 @@ warps sample the mask/size channels with nearest and image/distances
 bilinearly.
 """
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -20,7 +20,7 @@ import os
 import queue
 import threading
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

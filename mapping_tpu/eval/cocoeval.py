@@ -16,8 +16,7 @@ pycocotools pushed into C (_mask.so) lives in cpp/rle.cpp here.
 """
 
 import copy
-from collections import defaultdict
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

@@ -21,7 +21,6 @@ the reference's images_with_scores.
 
 import os
 from functools import partial
-from typing import Optional
 
 import numpy as np
 
@@ -31,9 +30,8 @@ from mapping_tpu.data.loader import SegmentationLoader
 from mapping_tpu.data.tta import tta_specs, tta_wrap_predict
 from mapping_tpu.infer.postprocess import (active_layers_for,
                                            postprocess_probabilities)
-from mapping_tpu.scoring import (FeatureExtractor, NonMaximumSupression,
-                                 ScoringGBM, ScoringRandomForest,
-                                 features_for_image)
+from mapping_tpu.scoring import (NonMaximumSupression, ScoringGBM,
+                                 ScoringRandomForest, features_for_image)
 from mapping_tpu.train.trainer import UNetTrainer
 from mapping_tpu.utils.logging import get_logger
 

@@ -19,7 +19,7 @@ erosion), the dependency-free equivalent of the reference's cv2.findContours
 CHAIN_APPROX_NONE pixel chain (src/postprocessing.py:356-364).
 """
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd

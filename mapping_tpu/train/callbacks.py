@@ -13,7 +13,7 @@ import json
 import os
 import time
 from collections import defaultdict, deque
-from typing import Any, Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

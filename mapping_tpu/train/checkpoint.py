@@ -8,11 +8,8 @@ step) serialized with flax msgpack, so training resumes exactly.
 """
 
 import os
-from typing import Any, Optional
 
 import flax
-import jax
-import numpy as np
 
 
 def save_state(state, path: str):

@@ -8,7 +8,7 @@ live alongside params; under jit+GSPMD they reduce over the *global*
 (mesh-wide) batch with no axis_name plumbing.
 """
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax
 import jax

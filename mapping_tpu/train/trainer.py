@@ -13,7 +13,6 @@ import os
 from typing import Any, Dict, Iterable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from mapping_tpu.models import build_network

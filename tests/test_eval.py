@@ -153,3 +153,67 @@ def test_end_to_end_probs_to_ap(tmp_path):
                              small_annotations_size=14, verbose=False)
     assert ap > 0.95
     assert ar > 0.95
+
+
+def test_maxdets_truncation():
+    """Only the top-maxDets detections by score count (pycocotools maxDets)."""
+    h = w = 64
+    gt = _gt_dataset()
+    # maxDets=1: only the highest-scoring detection is kept
+    dets = [
+        {"image_id": 1, "category_id": 100, "score": 0.9,
+         "segmentation": _square_rle(h, w, 5, 5, 20)},
+        {"image_id": 1, "category_id": 100, "score": 0.8,
+         "segmentation": _square_rle(h, w, 40, 40, 10)},
+    ]
+    coco_gt = COCOIndex(dataset=gt)
+    coco_dt = coco_gt.load_res(dets)
+    ev = COCOEvaluator(coco_gt, coco_dt)
+    ev.evaluate()
+    ev.accumulate()
+    p = ev.params
+    # recall at maxDets=1 (index 0) vs 100 (index 2), IoU .5 (t=0), all areas
+    r1 = ev.eval["recall"][0, 0, 0, 0]
+    r100 = ev.eval["recall"][0, 0, 0, 2]
+    assert r1 == pytest.approx(0.5)
+    assert r100 == pytest.approx(1.0)
+
+
+def test_multi_image_accumulation():
+    """Detections pool across images sorted by global score order."""
+    h = w = 64
+    gt = {
+        "images": [{"id": i, "file_name": f"{i}.jpg", "height": h, "width": w}
+                   for i in (1, 2)],
+        "categories": [{"id": 100, "name": "building"}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 100, "iscrowd": 0,
+             "area": 400, "segmentation": _square_rle(h, w, 5, 5, 20)},
+            {"id": 2, "image_id": 2, "category_id": 100, "iscrowd": 0,
+             "area": 400, "segmentation": _square_rle(h, w, 5, 5, 20)},
+        ],
+    }
+    dets = [
+        # image 1: correct, high score
+        {"image_id": 1, "category_id": 100, "score": 0.9,
+         "segmentation": _square_rle(h, w, 5, 5, 20)},
+        # image 2: false positive with higher score than image 2's TP
+        {"image_id": 2, "category_id": 100, "score": 0.8,
+         "segmentation": _square_rle(h, w, 40, 40, 10)},
+        {"image_id": 2, "category_id": 100, "score": 0.7,
+         "segmentation": _square_rle(h, w, 5, 5, 20)},
+    ]
+    stats = _evaluate(gt, dets)
+    # PR points: [TP], [TP,FP], [TP,FP,TP] -> precision at recall 1.0 is 2/3
+    assert stats[3] == pytest.approx(1.0)
+    # 101-pt AP: precision 1 up to recall .5, 2/3 above
+    expected_ap = (51 * 1.0 + 50 * (2 / 3)) / 101
+    assert stats[0] == pytest.approx(expected_ap, abs=0.01)
+
+
+def test_detection_without_score_defaults_zero():
+    gt = _gt_dataset()
+    dets = [{"image_id": 1, "category_id": 100,
+             "segmentation": _square_rle(64, 64, 5, 5, 20)}]
+    stats = _evaluate(gt, dets)
+    assert stats[3] == pytest.approx(0.5)
