@@ -176,6 +176,7 @@ def build_config(config_path: Optional[str] = None,
             "batch_size_train": params.batch_size_train,
             "batch_size_inference": params.batch_size_inference,
             "seed": SEED,
+            "load_in_memory": bool(params.load_in_memory),
         },
         "unet": {
             "model_params": {

@@ -161,6 +161,7 @@ class SegmentationLoader:
         batch_size_inference: int = 20,
         seed: int = 1234,
         augment: bool = True,
+        load_in_memory: bool = False,
     ):
         if mode not in ("resize", "crop_and_pad"):
             raise ValueError(f"unknown loader mode {mode!r}")
@@ -170,12 +171,25 @@ class SegmentationLoader:
         self.batch_size_train = batch_size_train
         self.batch_size_inference = batch_size_inference
         self.augment = augment
+        # decoded-file cache (reference load_in_memory, neptune.yaml:14) —
+        # the host here is 1-core, so re-decoding every epoch would dominate
+        self.load_in_memory = load_in_memory
+        self._cache = {} if load_in_memory else None
         self._rng = jax.random.PRNGKey(seed)
         self._np_rng = np.random.RandomState(seed)
 
+    def _cached(self, loader, path):
+        if self._cache is None:
+            return loader(path)
+        hit = self._cache.get(path)
+        if hit is None:
+            hit = self._cache[path] = loader(path)
+        return hit
+
     # -- host batch assembly -------------------------------------------------
     def _assemble(self, image_paths, target_paths, idxs):
-        images = [load_image(p) for p in np.asarray(image_paths)[idxs]]
+        images = [self._cached(load_image, p)
+                  for p in np.asarray(image_paths)[idxs]]
         shapes = {im.shape for im in images}
         if len(shapes) > 1:
             # heterogeneous sizes: host-resize to the device target size
@@ -189,7 +203,8 @@ class SegmentationLoader:
         image_b = np.stack(images)
         if target_paths is None:
             return image_b, None
-        targets = [load_target(p) for p in np.asarray(target_paths)[idxs]]
+        targets = [self._cached(load_target, p)
+                   for p in np.asarray(target_paths)[idxs]]
         return image_b, np.stack(targets).astype(np.float32)
 
     def _next_rng(self):

@@ -21,14 +21,14 @@ def main(ctx, config_path):
     ctx.obj = PipelineManager(config_path)
 
 
-@main.command()
+@main.command(name="prepare_masks")
 @click.option("-d", "--dev_mode", is_flag=True)
 @click.pass_obj
 def prepare_masks(manager, dev_mode):
     manager.prepare_masks(dev_mode)
 
 
-@main.command()
+@main.command(name="prepare_metadata")
 @click.option("-tr", "--train_data", is_flag=True)
 @click.option("-val", "--valid_data", is_flag=True)
 @click.pass_obj
@@ -38,7 +38,7 @@ def prepare_metadata(manager, train_data, valid_data):
     manager.prepare_metadata(train_data, valid_data)
 
 
-@main.command()
+@main.command(name="train")
 @click.option("-p", "--pipeline_name", default="unet_weighted")
 @click.option("-d", "--dev_mode", is_flag=True)
 @click.pass_obj
@@ -48,7 +48,7 @@ def train(manager, pipeline_name, dev_mode):
     manager.finish_experiment()
 
 
-@main.command()
+@main.command(name="evaluate")
 @click.option("-p", "--pipeline_name", default="unet")
 @click.option("-d", "--dev_mode", is_flag=True)
 @click.option("-c", "--chunk_size", type=int, default=None)
@@ -59,7 +59,7 @@ def evaluate(manager, pipeline_name, dev_mode, chunk_size):
     manager.finish_experiment()
 
 
-@main.command()
+@main.command(name="predict_on_dir")
 @click.option("-p", "--pipeline_name", default="unet")
 @click.option("--dir_path", required=True)
 @click.option("--prediction_path", required=True)
@@ -73,7 +73,7 @@ def predict_on_dir(manager, pipeline_name, dir_path, prediction_path,
     manager.finish_experiment()
 
 
-@main.command()
+@main.command(name="train_evaluate")
 @click.option("-p", "--pipeline_name", default="unet_weighted")
 @click.option("-d", "--dev_mode", is_flag=True)
 @click.option("-c", "--chunk_size", type=int, default=None)

@@ -49,7 +49,17 @@ def make_train_step(loss_fn: Callable, has_batch_stats: bool = True,
 
         def compute_loss(params):
             logits, new_model_state = forward(params, batch["image"])
-            loss = loss_fn(logits, batch["target"])
+            if isinstance(logits, (list, tuple)):
+                # multi-head model (UNetMultitask): average the per-head
+                # losses; with a list target each head gets its own
+                # (reference multi-output loop, steps/pytorch/models.py:88-99)
+                targets = batch["target"]
+                if not isinstance(targets, (list, tuple)):
+                    targets = [targets] * len(logits)
+                loss = sum(loss_fn(lg, tg) for lg, tg in
+                           zip(logits, targets)) / len(logits)
+            else:
+                loss = loss_fn(logits, batch["target"])
             return loss, new_model_state
 
         (loss, new_model_state), grads = jax.value_and_grad(
