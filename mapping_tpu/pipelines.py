@@ -113,7 +113,10 @@ class UNetPipeline:
         return self.transform(data)
 
     # -------------------------------------------------------- inference
-    def transform(self, data):
+    def transform(self, data, return_probabilities=False):
+        """y_pred per image; with return_probabilities also the resized
+        (C, th, tw) probability maps (consumed by the scoring pipelines —
+        avoids a second forward pass over the dataset)."""
         if not os.path.exists(self.trainer_cache_path):
             raise RuntimeError(
                 f"no trained unet found at {self.trainer_cache_path}; run "
@@ -129,6 +132,7 @@ class UNetPipeline:
         post = self.config.postprocessor
         target_size = tuple(post.target_size)
         y_pred = []
+        y_probs = []
         for probs in probs_batches:
             probs = np.asarray(probs)
             if self.padded:
@@ -146,7 +150,14 @@ class UNetPipeline:
                 trimmed = [list(sc[l][: int(lab[l].max())])
                            for l in range(lab.shape[0])]
                 y_pred.append((lab, trimmed))
-        return {"y_pred": y_pred}
+            if return_probabilities:
+                resized = _resize_probs(probs, target_size)
+                for item in resized:
+                    y_probs.append(np.moveaxis(item, -1, 0))
+        out = {"y_pred": y_pred}
+        if return_probabilities:
+            out["probabilities"] = y_probs
+        return out
 
     def _predict_batches(self, datagen):
         if not self.tta:
@@ -196,8 +207,8 @@ class ScoringModelPipeline:
         # (reference _get_scoring_model_data, src/pipeline_manager.py:232-244)
         annotations = data["input"].get("annotations")
         meta = data["input"]["meta"]
-        out = self.base.transform(data)
-        probs_by_image = _collect_probabilities(self.base, data)
+        out = self.base.transform(data, return_probabilities=True)
+        probs_by_image = out["probabilities"]
         if annotations is None:
             annotations = [{}] * len(meta)
         features = []
@@ -240,8 +251,8 @@ class ScoringInferencePipeline:
             raise RuntimeError(
                 f"no trained scoring model at {self.cache_path}")
         self.model.load(self.cache_path)
-        out = self.base.transform(data)
-        probs_by_image = _collect_probabilities(self.base, data)
+        out = self.base.transform(data, return_probabilities=True)
+        probs_by_image = out["probabilities"]
         features = [features_for_image(labels, probs,
                                        category_layers=self.category_layers)
                     for (labels, _), probs in zip(out["y_pred"],
@@ -258,30 +269,15 @@ class ScoringInferencePipeline:
         return self.transform(data)
 
 
-def _collect_probabilities(base: UNetPipeline, data):
-    """Re-run the base forward to collect per-image resized probability maps
-    (C, H, W) for feature extraction."""
-    meta = data["input"]["meta"]
-    x, _ = _xy(meta)
-    gens = base.loader.transform(x, None, train_mode=False)
-    target_size = tuple(base.config.postprocessor.target_size)
+def _resize_probs(probs, target_size):
+    """(B, H, W, C) -> (B, th, tw, C) bilinear, on device."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def resize(p):
-        b = p.shape[0]
-        return jax.image.resize(
-            p, (b,) + target_size + (p.shape[-1],), "linear")
-
-    out = []
-    for probs in base._predict_batches(gens["datagen"]):
-        probs = np.asarray(resize(jnp.asarray(probs)))
-        if base.padded:
-            probs = base._center_crop(probs, target_size)
-        for item in probs:
-            out.append(np.moveaxis(item, -1, 0))
-    return out
+    return np.asarray(jax.image.resize(
+        jnp.asarray(probs),
+        (probs.shape[0],) + tuple(target_size) + (probs.shape[-1],),
+        "linear"))
 
 
 def _make_scoring_model(config):
