@@ -62,6 +62,7 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "image_w": 256,
     "image_channels": 3,
     # model
+    "pretrained_weights": "",  # local torchvision state_dict (.pth/.npz)
     "nr_unet_outputs": 1,
     "channels_per_output": 2,
     "n_filters": 16,
@@ -194,6 +195,7 @@ def build_config(config_path: Optional[str] = None,
             },
             "optimizer_params": {"lr": params.lr, "gamma": params.gamma,
                                  "weight_decay": params.l2_reg_conv},
+            "pretrained_weights": params.pretrained_weights,
             "loss": {
                 "w0": params.w0,
                 "sigma": params.sigma,

@@ -62,6 +62,8 @@ def build_network(model_params: Dict[str, Any], dtype=jnp.bfloat16):
     """
     params = dict(model_params)
     dtype = params.pop("dtype", dtype)
+    if isinstance(dtype, str):
+        dtype = getattr(jnp, dtype)
     encoder = params.pop("encoder", "ResNet101")
     if encoder == "from_scratch":
         cfg = {k: params[k] for k in _SCRATCH_KEYS if k in params}

@@ -79,6 +79,7 @@ class UNetPipeline:
             seed=SEED,
             mesh="auto" if config.params.get("data_parallel", 0) else None,
             remat=bool(config.params.get("remat", 0)),
+            pretrained_weights=config.unet.get("pretrained_weights", ""),
         )
         self.category_layers = _category_layers(config)
 

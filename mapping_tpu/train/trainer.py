@@ -39,7 +39,8 @@ class UNetTrainer:
                  input_size=(256, 256),
                  seed: int = 1234,
                  mesh=None,
-                 remat: bool = False):
+                 remat: bool = False,
+                 pretrained_weights: str = ""):
         self.model = build_network(dict(model_params))
         self.model_params = dict(model_params)
         self.optimizer_params = dict(optimizer_params)
@@ -50,6 +51,7 @@ class UNetTrainer:
         self.input_size = tuple(input_size)
         self.seed = seed
         self.remat = remat
+        self.pretrained_weights = pretrained_weights
         if mesh == "auto":
             # data-parallel over every visible device (the nn.DataParallel
             # default of the reference, src/models.py:65); global batch size
@@ -83,6 +85,8 @@ class UNetTrainer:
         self.state = create_train_state(
             self.model, jax.random.PRNGKey(self.seed),
             (1,) + self.input_size + (3,), tx)
+        if self.pretrained_weights:
+            self._graft_pretrained(self.pretrained_weights)
         if self.mesh is not None:
             from mapping_tpu.parallel import shard_pytree_replicated
 
@@ -92,6 +96,49 @@ class UNetTrainer:
                                            remat=self.remat)
         self._eval_step = make_eval_step(self._loss_fn)
         self._predict_step = make_predict_step()
+
+    def _graft_pretrained(self, path):
+        """Load a torchvision state_dict file and graft the encoder weights
+        (the reference downloads ImageNet encoders at construction,
+        src/unet_models.py:345-352; this env has no egress so weights come
+        from a local file)."""
+        from mapping_tpu.models.torch_convert import (convert_resnet_encoder,
+                                                      convert_vgg_features,
+                                                      graft_encoder_params,
+                                                      load_torch_file)
+
+        state_dict = load_torch_file(path)
+        encoder = self.model_params.get("encoder", "")
+        if encoder.startswith("ResNet") or encoder == "AlbuNet":
+            depth = int(encoder[6:]) if encoder.startswith("ResNet") else 34
+            enc_params, enc_stats = convert_resnet_encoder(state_dict, depth)
+            prefix = ("unet", "encoder") if encoder == "AlbuNet" else ("encoder",)
+            params = graft_encoder_params(dict(self.state.params), enc_params,
+                                          prefix)
+            stats = graft_encoder_params(dict(self.state.batch_stats),
+                                         enc_stats, prefix)
+            self.state = self.state.replace(params=params, batch_stats=stats)
+        elif encoder.startswith("VGG"):
+            converted = convert_vgg_features(state_dict)
+
+            def graft(tree):  # conv_N keys appear flat (UNet11) or in stages
+                out = {}
+                for k, v in tree.items():
+                    if k in converted and isinstance(v, dict) and "kernel" in v:
+                        if np.shape(v["kernel"]) != np.shape(converted[k]["kernel"]):
+                            raise ValueError(f"shape mismatch for {k}")
+                        out[k] = converted[k]
+                    elif isinstance(v, dict):
+                        out[k] = graft(v)
+                    else:
+                        out[k] = v
+                return out
+
+            self.state = self.state.replace(params=graft(dict(self.state.params)))
+        else:
+            raise ValueError(
+                f"pretrained weights unsupported for encoder {encoder!r}")
+        logger.info("grafted pretrained encoder weights from %s", path)
 
     def _place_batch(self, batch):
         if self.mesh is None:

@@ -1,0 +1,75 @@
+"""Pretrained-weight grafting through the trainer (local state_dict file)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _fake_resnet34_statedict(tmp_path):
+    """Fabricate a torchvision-shaped resnet34 state_dict as .npz."""
+    import flax
+    import jax.numpy as jnp
+
+    from mapping_tpu.models import UNetResNet
+
+    model = UNetResNet(encoder_depth=34, num_classes=2, num_filters=4,
+                       dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    rng = np.random.RandomState(7)
+    state = {}
+
+    def torch_name(path):
+        mod = list(path)
+        if mod[0] in ("conv1", "bn1"):
+            return mod[0]
+        layer, block = mod[0].rsplit("_", 1)
+        sub = mod[1]
+        if sub == "downsample_conv":
+            return f"{layer}.{block}.downsample.0"
+        if sub == "downsample_bn":
+            return f"{layer}.{block}.downsample.1"
+        return f"{layer}.{block}.{sub}"
+
+    for path, leaf in flax.traverse_util.flatten_dict(
+            variables["params"]["encoder"]).items():
+        name = torch_name(path)
+        if path[-1] == "kernel":
+            state[name + ".weight"] = np.transpose(
+                rng.randn(*np.shape(leaf)), (3, 2, 0, 1)).astype(np.float32)
+        elif path[-1] == "scale":
+            state[name + ".weight"] = rng.randn(*np.shape(leaf)).astype(np.float32)
+        else:
+            state[name + ".bias"] = rng.randn(*np.shape(leaf)).astype(np.float32)
+    for path, leaf in flax.traverse_util.flatten_dict(
+            variables["batch_stats"]["encoder"]).items():
+        name = torch_name(path)
+        suffix = "running_mean" if path[-1] == "mean" else "running_var"
+        state[f"{name}.{suffix}"] = rng.rand(*np.shape(leaf)).astype(np.float32)
+    path = str(tmp_path / "resnet34.npz")
+    np.savez(path, **state)
+    return path, state
+
+
+def test_trainer_grafts_resnet_weights(tmp_path):
+    from mapping_tpu.train.trainer import UNetTrainer
+
+    weights_path, state = _fake_resnet34_statedict(tmp_path)
+    trainer = UNetTrainer(
+        model_params={"encoder": "ResNet34", "num_filters": 4,
+                      "dtype": "float32"},
+        optimizer_params={"lr": 1e-3},
+        loss_params={},
+        training_config={"epochs": 1},
+        loss_name="ce",
+        input_size=(64, 64),
+        pretrained_weights=weights_path,
+    )
+    trainer._ensure_state()
+    got = np.asarray(trainer.state.params["encoder"]["conv1"]["kernel"])
+    np.testing.assert_allclose(
+        got, np.transpose(state["conv1.weight"], (2, 3, 1, 0)), rtol=1e-6)
+    got_var = np.asarray(
+        trainer.state.batch_stats["encoder"]["bn1"]["var"])
+    np.testing.assert_allclose(got_var, state["bn1.running_var"], rtol=1e-6)
