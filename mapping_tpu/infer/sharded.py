@@ -1,0 +1,57 @@
+"""Multi-chip fused inference: forward + postprocess sharded over 'data'.
+
+Serving-path equivalent of the data-parallel train step: the batch shards
+over the mesh's 'data' axis and every chip runs the WHOLE fused program
+(forward -> softmax -> resize -> threshold -> CCL -> scores) on its shard via
+shard_map — no cross-chip traffic after the (replicated) params are read.
+The per-device body is rank-preserving, so the Pallas CCL kernel runs
+per-chip with a local grid.
+"""
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # moved across jax versions; prefer the stable location
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from mapping_tpu.infer.postprocess import fused_postprocess
+from mapping_tpu.parallel.mesh import DATA_AXIS
+
+
+def make_sharded_infer(apply_fn, mesh: Mesh,
+                       target_size: Tuple[int, int] = (300, 300),
+                       category_layers: Tuple[int, ...] = (1, 1),
+                       active_layers: Tuple[int, ...] = None,
+                       erode_size: int = 0,
+                       dilate_size: int = 0):
+    """Build a jitted (variables, images) -> (labels, scores) program where
+    images shard over 'data' and variables replicate.
+
+    apply_fn(variables, images) -> logits (the flax apply with train=False).
+    The global batch must divide the data-axis size.
+    """
+
+    def per_device(variables, images):
+        logits = apply_fn(variables, images)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        labels, scores, _ = fused_postprocess(
+            probs, target_size=target_size, category_layers=category_layers,
+            erode_size=erode_size, dilate_size=dilate_size,
+            active_layers=active_layers)
+        return labels, scores
+
+    kwargs = dict(mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
+                  out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
+    try:
+        # vma checking rejects loop carries that become device-varying
+        # (the CCL convergence flag); disable it
+        sharded = shard_map(per_device, check_vma=False, **kwargs)
+    except TypeError:  # pragma: no cover - older jax spelling
+        sharded = shard_map(per_device, check_rep=False, **kwargs)
+    return jax.jit(sharded)

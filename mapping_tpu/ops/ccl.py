@@ -88,9 +88,10 @@ def _label_raw(mask, max_iters):
         new = _propagate_rows(labels, mask)
         new = _propagate_cols(new, mask)
         changed = jnp.any(new != labels)
-        return new, changed, it + 1
+        return new, changed, it + jnp.int32(1)
 
-    labels, _, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True), 0))
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
     return jnp.where(mask, labels, 0)
 
 

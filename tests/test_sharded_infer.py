@@ -1,0 +1,34 @@
+"""shard_map'd fused inference over the virtual 8-device mesh matches the
+single-device fused path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_tpu.infer.postprocess import postprocess_probabilities
+from mapping_tpu.infer.sharded import make_sharded_infer
+from mapping_tpu.models import UNet
+from mapping_tpu.parallel import make_mesh
+
+
+def test_sharded_infer_matches_single():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    model = UNet(n_filters=4, repeat_blocks=2, dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def apply_fn(v, im):
+        return model.apply(v, im, train=False)
+
+    infer = make_sharded_infer(apply_fn, mesh, target_size=(64, 64),
+                               category_layers=(1, 1), active_layers=(1,))
+    labels, scores = infer(variables, x)
+    assert labels.shape[0] == 8
+
+    probs = np.asarray(jax.nn.softmax(apply_fn(variables, x), axis=-1))
+    labels_ref, scores_ref, _ = postprocess_probabilities(
+        probs, target_size=(64, 64), category_layers=(1, 1),
+        active_layers=(1,))
+    np.testing.assert_array_equal(np.asarray(labels), labels_ref)
+    np.testing.assert_allclose(np.asarray(scores), scores_ref, atol=1e-4)
