@@ -111,7 +111,10 @@ class UNetPipeline:
             self.trainer.fit(gens["datagen"], gens["validation_datagen"],
                              meta_valid=meta_valid)
             self.trainer.save(self.trainer_cache_path)
-        return self.transform(data)
+        # the reference's fit_transform then ran inference+postprocessing
+        # over the WHOLE training set only to discard it
+        # (src/pipeline_manager.py:134-137 ignores the output); skip that.
+        return {"y_pred": []}
 
     # -------------------------------------------------------- inference
     def transform(self, data, return_probabilities=False):
