@@ -225,6 +225,10 @@ def predict_on_dir(pipeline_name, dir_path, prediction_path, chunk_size,
 def generate_prediction(meta_data, pipeline, config, chunk_size=None):
     category_layers = tuple(config.params.get("category_layers",
                                               CATEGORY_LAYERS))
+    if chunk_size is None and config.params.get("stream_mode", 0):
+        # stream mode: bound memory to one inference batch at a time
+        # (the reference's generator-transformer path, src/utils.py:392-413)
+        chunk_size = int(config.params.batch_size_inference)
     if chunk_size is None:
         chunks = [meta_data]
     else:
