@@ -68,6 +68,11 @@ class UNetPipeline:
         if padded:
             loader_cfg["mode"] = "crop_and_pad"
         self.loader = SegmentationLoader(**loader_cfg)
+        # predictions from padded inputs get center-cropped back: always for
+        # unet_padded, and for unet_tta when the loader pads (the reference's
+        # prediction_crop step, src/pipelines.py:65-80,113-125)
+        self.crop_predictions = padded or (
+            tta and loader_cfg["mode"] == "crop_and_pad")
         self.trainer = UNetTrainer(
             model_params=config.unet.model_params,
             optimizer_params=config.unet.optimizer_params,
@@ -139,7 +144,7 @@ class UNetPipeline:
         y_probs = []
         for probs in probs_batches:
             probs = np.asarray(probs)
-            if self.padded:
+            if self.crop_predictions:
                 probs = self._center_crop(probs, target_size)
             labels, scores, _ = postprocess_probabilities(
                 probs,

@@ -88,6 +88,17 @@ def test_evaluate_tta_pipeline(workspace):
     assert ap > 0.3
 
 
+def test_evaluate_tta_crop_and_pad(workspace):
+    """unet_tta with loader_mode=crop_and_pad: padded inference + TTA +
+    center-crop undo (reference src/pipelines.py:113-125)."""
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"loader_mode": "crop_and_pad"})
+    ap, ar = manager.evaluate("unet_tta", dev_mode=False, chunk_size=None)
+    assert ap > 0.2
+
+
 def test_evaluate_padded_pipeline(workspace):
     """unet_padded: replicate-pad inference + center-crop undo
     (reference src/pipelines.py:55-91)."""
