@@ -483,7 +483,9 @@ def default_unet_callbacks(callbacks_config) -> CallbackList:
         ModelCheckpoint(cc["checkpoint_dir"], minimize=cc.get("minimize", True)),
         EarlyStopping(patience=cc.get("patience", 30),
                       minimize=cc.get("minimize", True)),
-        MetricsMonitor(),
+        MetricsMonitor(sink=MetricSink(os.path.join(
+            os.path.dirname(os.path.dirname(cc["checkpoint_dir"])),
+            "metrics.jsonl")) if cc.get("checkpoint_dir") else None),
     ]
     if cc.get("resume", True) and cc.get("checkpoint_dir"):
         callbacks.append(ResumeCheckpoint(cc["checkpoint_dir"]))
