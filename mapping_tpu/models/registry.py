@@ -69,6 +69,14 @@ def build_network(model_params: Dict[str, Any], dtype=jnp.bfloat16):
         cfg = {k: params[k] for k in _SCRATCH_KEYS if k in params}
         cls = UNetMultitask if cfg.get("nr_outputs", 1) > 1 else UNet
         return cls(dtype=dtype, **cfg)
+    if encoder == "UNetPlusPlus":
+        from mapping_tpu.models.unetpp import UNetPlusPlus
+
+        cfg = {k: params[k] for k in
+               ("num_classes", "n_filters", "depth", "deep_supervision")
+               if k in params}
+        cfg.setdefault("num_classes", params.get("out_channels", 2))
+        return UNetPlusPlus(dtype=dtype, **cfg)
     if encoder not in PRETRAINED_NETWORKS:
         raise KeyError(
             f"unknown encoder {encoder!r}; options: "

@@ -182,3 +182,18 @@ def test_torch_convert_resnet_roundtrip():
         np.asarray(new_params["encoder"]["conv1"]["kernel"]),
         np.transpose(state["conv1.weight"], (2, 3, 1, 0)),
     )
+
+
+def test_unetplusplus():
+    from mapping_tpu.models.unetpp import UNetPlusPlus
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    for deep in (False, True):
+        model = UNetPlusPlus(n_filters=4, depth=3, deep_supervision=deep,
+                             dtype=jnp.float32)
+        out, _ = _init_and_apply(model, x)
+        assert out.shape == (1, 32, 32, 2)
+    model = build_network({"encoder": "UNetPlusPlus", "n_filters": 4,
+                           "depth": 3}, dtype=jnp.float32)
+    out, _ = _init_and_apply(model, x)
+    assert out.shape == (1, 32, 32, 2)
