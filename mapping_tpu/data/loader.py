@@ -187,9 +187,21 @@ class SegmentationLoader:
         return hit
 
     # -- host batch assembly -------------------------------------------------
+    def _decode_many(self, loader, paths):
+        """Decode files in parallel threads (PIL/joblib release the GIL in
+        their C cores; the reference used num_workers=4 DataLoader processes,
+        src/pipeline_config.py:50-57)."""
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = list(paths)
+        if len(paths) <= 1 or (_os.cpu_count() or 1) <= 1:
+            return [self._cached(loader, p) for p in paths]
+        with ThreadPoolExecutor(max_workers=min(8, _os.cpu_count())) as ex:
+            return list(ex.map(lambda p: self._cached(loader, p), paths))
+
     def _assemble(self, image_paths, target_paths, idxs):
-        images = [self._cached(load_image, p)
-                  for p in np.asarray(image_paths)[idxs]]
+        images = self._decode_many(load_image, np.asarray(image_paths)[idxs])
         shapes = {im.shape for im in images}
         if len(shapes) > 1:
             # heterogeneous sizes: host-resize to the device target size
@@ -203,8 +215,7 @@ class SegmentationLoader:
         image_b = np.stack(images)
         if target_paths is None:
             return image_b, None
-        targets = [self._cached(load_target, p)
-                   for p in np.asarray(target_paths)[idxs]]
+        targets = self._decode_many(load_target, np.asarray(target_paths)[idxs])
         return image_b, np.stack(targets).astype(np.float32)
 
     def _next_rng(self):

@@ -141,3 +141,22 @@ def test_apply_transformers():
                                        apply_on=["xs"])
     gen = ts.transform(xs=iter([1, 2, 3]))["s"]
     assert list(gen) == [2, 4, 6]
+
+
+def test_misc_utils():
+    import pandas as pd
+
+    from mapping_tpu.utils.misc import (Averager, denormalize_img,
+                                        generate_data_frame_chunks, softmax)
+
+    p = softmax(np.array([[1.0, 2.0, 3.0]]))
+    np.testing.assert_allclose(p.sum(), 1.0)
+    img = np.zeros((2, 2, 3))
+    out = denormalize_img(img)
+    np.testing.assert_allclose(out[0, 0], [0.485, 0.456, 0.406])
+    df = pd.DataFrame({"a": range(5)})
+    chunks = list(generate_data_frame_chunks(df, 2))
+    assert [len(c) for c in chunks] == [2, 2, 1]
+    a = Averager()
+    a.send(1.0); a.send(3.0)
+    assert a.value == 2.0
