@@ -131,7 +131,11 @@ class UNetPipeline:
                 f"no trained unet found at {self.trainer_cache_path}; run "
                 "train first (trainable-transformer contract, reference "
                 "src/steps/base.py:166-174)")
-        self.trainer.load(self.trainer_cache_path)
+        # chunked prediction calls transform per chunk; load the (large)
+        # checkpoint once per pipeline instance
+        if not getattr(self, "_weights_loaded", False):
+            self.trainer.load(self.trainer_cache_path)
+            self._weights_loaded = True
 
         meta = data["input"]["meta"]
         x, _ = _xy(meta)
