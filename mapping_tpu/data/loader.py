@@ -54,11 +54,16 @@ def load_target(mask_path) -> np.ndarray:
     distance_path = os.path.splitext(mask_path.replace("/masks/", "/distances/"))[0]
     size_path = distance_path.replace("/distances/", "/sizes/")
     if os.path.exists(distance_path):
-        dist = np.asarray(joblib.load(distance_path), dtype=np.float32)
+        # the reference truncates the float16 distance map to uint16 at load
+        # (src/loaders.py:151-152); match so the loss sees identical weights
+        dist = np.asarray(joblib.load(distance_path)).astype(np.uint16)
+        dist = dist.astype(np.float32)
     else:
         dist = np.zeros_like(mask)
     if os.path.exists(size_path):
-        sizes = np.sqrt(np.asarray(joblib.load(size_path), dtype=np.float32))
+        # reference: uint16 -> sqrt -> uint16 (floor), src/loaders.py:152-153
+        sizes = np.asarray(joblib.load(size_path)).astype(np.uint16)
+        sizes = np.sqrt(sizes).astype(np.uint16).astype(np.float32)
     else:
         sizes = np.ones_like(mask)
     return np.stack([mask, dist, sizes], axis=-1)

@@ -1,0 +1,78 @@
+"""Fused postprocess vs a reference-style host oracle on random prob maps.
+
+The oracle transcribes the reference chain per image (threshold ->
+scipy.ndimage.label -> mean-prob x sqrt(area) scores,
+src/postprocessing.py:77-84,127-132,228-236) on the SAME resized
+probabilities, isolating the device CCL/scoring logic."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+import jax
+import jax.numpy as jnp
+
+from mapping_tpu.infer.postprocess import fused_postprocess
+
+
+def _smooth_probs(rng, b, h, w):
+    """Blobby foreground probability maps."""
+    fg = rng.rand(b, h, w)
+    fg = ndimage.gaussian_filter(fg, sigma=(0, 4, 4))
+    fg = (fg - fg.min()) / (fg.max() - fg.min() + 1e-9)
+    return np.stack([1 - fg, fg], axis=-1).astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fused_matches_host_oracle(seed):
+    rng = np.random.RandomState(seed)
+    b, h, w = 3, 64, 64
+    probs = _smooth_probs(rng, b, h, w)
+
+    # same-resolution target so the resize is identity for both paths
+    labels, scores, areas = jax.device_get(fused_postprocess(
+        jnp.asarray(probs), target_size=(h, w), category_layers=(1, 1),
+        active_layers=(1,)))
+
+    for i in range(b):
+        binary = probs[i, :, :, 1] > 0.5
+        expected_labels, n = ndimage.label(binary)
+        got = np.asarray(labels[i, 1])
+        np.testing.assert_array_equal(got, expected_labels)
+        for inst in range(1, n + 1):
+            sel = expected_labels == inst
+            expected_score = probs[i, :, :, 1][sel].mean() * np.sqrt(sel.sum())
+            assert scores[i, 1, inst - 1] == pytest.approx(expected_score,
+                                                           rel=1e-4)
+            assert areas[i, 1, inst - 1] == sel.sum()
+        # inactive background layer stays empty
+        assert labels[i, 0].max() == 0
+
+
+def test_fused_erosion_restore_matches_reference_rule():
+    """erode_image + add_dropped_objects semantics
+    (src/postprocessing.py:135-156, src/utils.py:333-339)."""
+    h = w = 48
+    fg = np.zeros((h, w), np.float32)
+    fg[5:25, 5:25] = 0.9        # big block survives erosion
+    fg[30:32, 30:44] = 0.9      # thin strip is fully erased -> restored
+    probs = np.stack([1 - fg, fg], -1)[None]
+
+    labels, scores, _ = jax.device_get(fused_postprocess(
+        jnp.asarray(probs), target_size=(h, w), category_layers=(1, 1),
+        erode_size=3, active_layers=(1,)))
+    got = np.asarray(labels[0, 1])
+
+    from scipy.ndimage import binary_erosion
+
+    binary = fg > 0.5
+    eroded = binary_erosion(binary, np.ones((3, 3)))
+    # reference: restore components of `binary` with no surviving pixel
+    lab, n = ndimage.label(binary)
+    restored = eroded.copy()
+    for i in range(1, n + 1):
+        comp = lab == i
+        if not (comp & eroded).any():
+            restored |= comp
+    expected, _ = ndimage.label(restored)
+    np.testing.assert_array_equal(got, expected)
