@@ -94,6 +94,7 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "remat": 0,           # jax.checkpoint the forward (memory for FLOPs)
     # observability / recovery
     "resume_training": 1,
+    "resume_every": 5,  # epochs between 'last' checkpoints (large D2H)
     "profile_trace": 0,
     "monitor_images": 0,
     # regularization
@@ -215,6 +216,7 @@ def build_config(config_path: Optional[str] = None,
                 "data_dir": params.data_dir,
                 "small_annotations_size": params.small_annotations_size,
                 "resume": bool(params.resume_training),
+                "resume_every": int(params.resume_every),
                 "profile_trace_dir": (
                     os.path.join(params.experiment_dir, "profile")
                     if params.profile_trace else None),

@@ -359,11 +359,16 @@ class MetricsMonitor(Callback):
 
 
 class ResumeCheckpoint(Callback):
-    """Every-epoch 'last' checkpoint + resume (failure recovery, SURVEY.md §5:
+    """Periodic 'last' checkpoint + resume (failure recovery, SURVEY.md §5:
     the reference could only resume at Step granularity via its transformer
-    cache; this restores params+opt state+step mid-run)."""
+    cache; this restores params+opt state+step mid-run).
 
-    def __init__(self, checkpoint_dir, epoch_every=1, **_):
+    Serializing the full TrainState pulls every parameter off the device
+    (~0.5 GB for ResNet34-UNet + Adam state) — at every-epoch cadence that
+    dominated epoch wall time on the tunnel-attached chip, so the default
+    saves every 5 epochs (config: resume_every)."""
+
+    def __init__(self, checkpoint_dir, epoch_every=5, **_):
         super().__init__()
         self.checkpoint_dir = checkpoint_dir
         self.epoch_every = epoch_every
@@ -488,7 +493,8 @@ def default_unet_callbacks(callbacks_config) -> CallbackList:
             "metrics.jsonl")) if cc.get("checkpoint_dir") else None),
     ]
     if cc.get("resume", True) and cc.get("checkpoint_dir"):
-        callbacks.append(ResumeCheckpoint(cc["checkpoint_dir"]))
+        callbacks.append(ResumeCheckpoint(
+            cc["checkpoint_dir"], epoch_every=cc.get("resume_every", 5)))
     if cc.get("profile_trace_dir"):
         callbacks.append(ProfilerTrace(cc["profile_trace_dir"]))
     if cc.get("image_monitor_dir"):
