@@ -267,7 +267,11 @@ class EarlyStopping(Callback):
 
 
 class ModelCheckpoint(Callback):
-    """Keep the best checkpoint by validation 'sum' (reference :244-279)."""
+    """Keep the best checkpoint by validation 'sum' (reference :244-279).
+
+    The best state is held in host RAM (one device pull per improvement) and
+    written to disk once at train end — serializing ~0.5 GB of msgpack per
+    improving epoch dominated wall time on a 1-core host."""
 
     def __init__(self, checkpoint_dir, minimize=True, epoch_every=1, **_):
         super().__init__()
@@ -275,6 +279,7 @@ class ModelCheckpoint(Callback):
         self.minimize = minimize
         self.epoch_every = epoch_every
         self.best = None
+        self._best_state = None
 
     @property
     def best_path(self):
@@ -283,6 +288,7 @@ class ModelCheckpoint(Callback):
     def on_train_begin(self, *a, **kw):
         super().on_train_begin(*a, **kw)
         self.best = None
+        self._best_state = None
         os.makedirs(self.checkpoint_dir, exist_ok=True)
 
     def on_epoch_end(self, *a, **kw):
@@ -294,14 +300,24 @@ class ModelCheckpoint(Callback):
             improved = (value is None or self.best is None or
                         (value < self.best if self.minimize else value > self.best))
             if improved:
+                import jax
+
                 if value is not None:
                     self.best = value
-                from mapping_tpu.train.checkpoint import save_state
-
-                save_state(self.trainer.state, self.best_path)
-                logger.info("epoch %d checkpoint saved to %s (score=%s)",
-                            self.epoch_id, self.best_path, value)
+                # host copy now (the step donates device buffers later)
+                self._best_state = jax.device_get(self.trainer.state)
+                logger.info("epoch %d new best checkpoint (score=%s)",
+                            self.epoch_id, value)
         super().on_epoch_end(*a, **kw)
+
+    def on_train_end(self, *a, **kw):
+        if self._best_state is not None:
+            from mapping_tpu.train.checkpoint import save_state
+
+            save_state(self._best_state, self.best_path)
+            logger.info("best checkpoint written to %s (score=%s)",
+                        self.best_path, self.best)
+        super().on_train_end(*a, **kw)
 
 
 class ExperimentTiming(Callback):
