@@ -304,17 +304,29 @@ class ModelCheckpoint(Callback):
 
                 if value is not None:
                     self.best = value
-                # host copy now (the step donates device buffers later)
-                self._best_state = jax.device_get(self.trainer.state)
+                # host copy now (the step donates device buffers later);
+                # weights only — the reference's checkpoint was the
+                # state_dict, not the optimizer (steps/pytorch/callbacks.py:
+                # 244-279), and it's a third of the transfer
+                self._best_state = {
+                    "params": jax.device_get(self.trainer.state.params),
+                    "batch_stats": jax.device_get(
+                        self.trainer.state.batch_stats),
+                }
                 logger.info("epoch %d new best checkpoint (score=%s)",
                             self.epoch_id, value)
         super().on_epoch_end(*a, **kw)
 
     def on_train_end(self, *a, **kw):
         if self._best_state is not None:
-            from mapping_tpu.train.checkpoint import save_state
+            import flax
 
-            save_state(self._best_state, self.best_path)
+            os.makedirs(self.checkpoint_dir, exist_ok=True)
+            data = flax.serialization.to_bytes(self._best_state)
+            tmp = self.best_path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, self.best_path)
             logger.info("best checkpoint written to %s (score=%s)",
                         self.best_path, self.best)
         super().on_train_end(*a, **kw)

@@ -172,11 +172,15 @@ class UNetTrainer:
                 logger.info("early stopping at epoch %d", epoch_id)
                 break
         callbacks.on_train_end()
-        # hand back the best checkpoint if one was kept
+        # hand back the best weights if a checkpoint was kept (weights-only,
+        # like the reference's Model.save copying the best state_dict,
+        # steps/pytorch/models.py:162-171)
         best = os.path.join(self.callbacks_config.get("checkpoint_dir", ""),
                             "best.msgpack")
         if self.callbacks_config.get("checkpoint_dir") and os.path.exists(best):
-            self.state = load_state(self.state, best)
+            from mapping_tpu.train.checkpoint import load_params_only
+
+            self.state = load_params_only(self.state, best)
         return self
 
     def _build_callbacks(self) -> CallbackList:
