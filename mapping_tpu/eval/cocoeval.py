@@ -236,10 +236,26 @@ class COCOEvaluator:
         return self.stats
 
 
+_GT_CACHE = {}
+
+
+def _load_gt(gt_filepath):
+    """Per-process GT index cache: per-epoch validation re-evaluates against
+    the same annotation file (src/callbacks.py:133-151) and parsing a large
+    COCO json every epoch would dominate."""
+    import os
+
+    key = (gt_filepath, os.path.getmtime(gt_filepath))
+    if key not in _GT_CACHE:
+        _GT_CACHE.clear()
+        _GT_CACHE[key] = COCOIndex(gt_filepath)
+    return _GT_CACHE[key]
+
+
 def coco_evaluation(gt_filepath, prediction_filepath, image_ids, category_ids,
                     small_annotations_size=14, verbose=True):
     """(AP@.5, AR@.5) driver (reference src/utils.py:308-321)."""
-    coco_gt = COCOIndex(gt_filepath)
+    coco_gt = _load_gt(gt_filepath)
     coco_dt = coco_gt.load_res(prediction_filepath)
     evaluator = COCOEvaluator(coco_gt, coco_dt)
     evaluator.params.img_ids = list(image_ids)
