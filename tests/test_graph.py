@@ -160,3 +160,26 @@ def test_misc_utils():
     a = Averager()
     a.send(1.0); a.send(3.0)
     assert a.value == 2.0
+
+
+def test_sklearn_wrappers(tmp_path):
+    from sklearn.linear_model import LinearRegression
+
+    from mapping_tpu.sklearn_models import GBMRegressor, SklearnRegressor
+
+    X = np.arange(40, dtype=float).reshape(-1, 1)
+    y = 3 * X[:, 0] + 1
+    reg = SklearnRegressor(LinearRegression())
+    reg.fit(X, y)
+    pred = reg.transform(X)["prediction"]
+    np.testing.assert_allclose(pred, y, atol=1e-6)
+    path = str(tmp_path / "reg.joblib")
+    reg.save(path)
+    reg2 = SklearnRegressor().load(path)
+    np.testing.assert_allclose(reg2.transform(X)["prediction"], y, atol=1e-6)
+
+    gbm = GBMRegressor(model_params={"learning_rate": 0.3},
+                       training_params={"number_boosting_rounds": 50})
+    gbm.fit(X, y)
+    pred = gbm.transform(X)["prediction"]
+    assert np.abs(pred - y).mean() < 12.0
