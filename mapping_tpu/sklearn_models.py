@@ -89,7 +89,7 @@ class GBMRegressor(BaseTransformer):
             max_depth=self.model_params.get("max_depth", None),
             max_iter=min(int(self.training_params.get(
                 "number_boosting_rounds", 500)), 5000),
-            early_stopping=True,
+            early_stopping="auto",  # holds out validation only on big data
             n_iter_no_change=int(self.training_params.get(
                 "early_stopping_rounds", 10)),
             random_state=1234,
