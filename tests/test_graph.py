@@ -178,8 +178,10 @@ def test_sklearn_wrappers(tmp_path):
     reg2 = SklearnRegressor().load(path)
     np.testing.assert_allclose(reg2.transform(X)["prediction"], y, atol=1e-6)
 
+    X2 = np.linspace(0, 40, 400).reshape(-1, 1)
+    y2 = 3 * X2[:, 0] + 1
     gbm = GBMRegressor(model_params={"learning_rate": 0.3},
-                       training_params={"number_boosting_rounds": 50})
-    gbm.fit(X, y)
-    pred = gbm.transform(X)["prediction"]
-    assert np.abs(pred - y).mean() < 12.0
+                       training_params={"number_boosting_rounds": 100})
+    gbm.fit(X2, y2)
+    pred = gbm.transform(X2)["prediction"]
+    assert np.abs(pred - y2).mean() < 2.0
