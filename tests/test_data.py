@@ -150,3 +150,24 @@ def test_color_shift_changes_channel():
     out = color_shift(jax.random.PRNGKey(4), img)
     assert out.shape == img.shape
     assert np.asarray(out).min() >= 0 and np.asarray(out).max() <= 255
+
+
+def test_predict_heterogeneous_image_sizes(tmp_path):
+    """predict_on_dir must handle mixed image sizes (host-resize fallback in
+    SegmentationLoader._assemble)."""
+    from PIL import Image
+
+    from mapping_tpu.data.loader import SegmentationLoader
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (h, w) in enumerate([(300, 300), (200, 260), (320, 280)]):
+        p = str(tmp_path / f"img_{i}.jpg")
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    loader = SegmentationLoader(mode="resize", size=(64, 64),
+                                batch_size_inference=3)
+    flow, steps = loader.transform(np.asarray(paths), None,
+                                   train_mode=False)["datagen"]
+    batch = next(iter(flow))
+    assert batch["image"].shape == (3, 64, 64, 3)
