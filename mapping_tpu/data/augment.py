@@ -102,11 +102,11 @@ def _sample(img, src_y, src_x, order):
 def _fast_augment_one(rng, image, target):
     """image (H, W, 3) f32, target (H, W, 3) [mask, dist, sqrt_size] f32."""
     h, w = image.shape[:2]
-    k_pick, k_lr, k_ud, k_rot, k_tx, k_ty = jax.random.split(rng, 6)
+    k_n, k_pick, k_lr, k_ud, k_rot, k_tx, k_ty = jax.random.split(rng, 7)
 
     # SomeOf((1,2), [fliplr(0.5), flipud(0.5), affine]): pick how many ops
     # and which; each flip then fires with prob 0.5 on its own.
-    n_ops = jax.random.randint(k_pick, (), 1, 3)  # 1 or 2
+    n_ops = jax.random.randint(k_n, (), 1, 3)  # 1 or 2
     perm = jax.random.permutation(k_pick, 3)
     selected = jnp.zeros((3,), bool).at[perm[0]].set(True)
     selected = jnp.where(n_ops == 2, selected.at[perm[1]].set(True), selected)
