@@ -47,10 +47,12 @@ def _restore_erased(binary, eroded):
     )(labels.reshape((-1,) + labels.shape[-2:]),
       eroded.reshape((-1,) + eroded.shape[-2:]))
     survived = survived.reshape(labels.shape[:-2] + (n + 1,))
-    # per-pixel: does my component survive?
+    # per-pixel: does my component survive? (labels beyond the instance pad
+    # clamp to the last slot — out-of-range gathers would read garbage)
+    idx = jnp.minimum(labels, n).astype(jnp.int32)
     alive = jnp.take_along_axis(
         survived.reshape((-1, n + 1)),
-        labels.reshape((-1, labels.shape[-2] * labels.shape[-1])).astype(jnp.int32),
+        idx.reshape((-1, labels.shape[-2] * labels.shape[-1])),
         axis=1,
     ).reshape(labels.shape) > 0
     return jnp.where(binary & ~alive, True, eroded)
