@@ -27,11 +27,12 @@ class MetricSink:
 
     def __init__(self, jsonl_path: Optional[str] = None):
         self.jsonl_path = jsonl_path
-        if jsonl_path:
-            os.makedirs(os.path.dirname(jsonl_path) or ".", exist_ok=True)
 
     def send(self, channel: str, x: float, y: float):
         if self.jsonl_path:
+            # lazy dir creation: constructing a manager (e.g. `--help`)
+            # should not scaffold experiment directories
+            os.makedirs(os.path.dirname(self.jsonl_path) or ".", exist_ok=True)
             with open(self.jsonl_path, "a") as f:
                 f.write(json.dumps({"channel": channel, "x": float(x),
                                     "y": float(y), "ts": time.time()}) + "\n")
