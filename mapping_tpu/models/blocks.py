@@ -53,8 +53,13 @@ class DecoderBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = ConvRelu(self.middle, self.dtype, name="conv1")(x)
+        # padding (1,2) per spatial dim is the exact equivalent of torch
+        # ConvTranspose2d(k=3, s=2, padding=1, output_padding=1) — verified
+        # numerically in tests/test_torch_parity.py ("SAME" splits the pad
+        # differently and diverges from the reference).
         x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype, name="deconv")(x)
+                             padding=((1, 2), (1, 2)), dtype=self.dtype,
+                             name="deconv")(x)
         return nn.relu(x)
 
 

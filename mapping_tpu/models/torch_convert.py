@@ -22,6 +22,28 @@ def _conv(w):
     return np.transpose(np.asarray(w), (2, 3, 1, 0))
 
 
+def _deconv(w):
+    """torch ConvTranspose2d weight (I, O, kH, kW) -> flax ConvTranspose
+    kernel (kH, kW, I, O), spatially flipped.
+
+    flax.linen.ConvTranspose (transpose_kernel=False) correlates a
+    fractionally-strided input with the kernel as-is, whereas torch's
+    ConvTranspose2d is the gradient of a forward conv — the two agree exactly
+    when the spatial taps are mirrored (verified in tests/test_torch_parity.py;
+    with torch's k=4/s=2/p=1 the padding equals flax "SAME", and k=3/s=2/p=1/
+    output_padding=1 equals flax ((1,2),(1,2)))."""
+    return np.transpose(np.asarray(w), (2, 3, 0, 1))[::-1, ::-1].copy()
+
+
+def strip_module_prefix(state: Mapping[str, "np.ndarray"]) -> Dict[str, "np.ndarray"]:
+    """Drop a leading 'module.' (nn.DataParallel wrapping — the reference
+    trains with DataParallel, src/models.py:65) from every key."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in state.items()
+    }
+
+
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     """Load a torch .pth/.pt state_dict or a .npz into {name: ndarray}."""
     if path.endswith(".npz"):
@@ -100,6 +122,107 @@ def convert_vgg_features(
                 _conv(value) if leaf == "kernel" else np.asarray(value)
             )
     return out
+
+
+def _conv_bias(state, prefix):
+    return {"kernel": _conv(state[prefix + ".weight"]),
+            "bias": np.asarray(state[prefix + ".bias"])}
+
+
+def _convrelu(state, prefix):
+    """Reference ConvRelu (src/unet_models.py:25-34) -> our ConvRelu scope."""
+    return {"conv": _conv_bias(state, prefix + ".conv")}
+
+
+def _decoder_block_v2(state, prefix, is_deconv):
+    """Reference DecoderBlockV2 (src/unet_models.py:125-150) -> our
+    DecoderBlockV2 scope (models/blocks.py). block.0 is ConvRelu (deconv
+    mode) or Upsample (bilinear mode, no params)."""
+    if is_deconv:
+        return {
+            "conv1": _convrelu(state, prefix + ".block.0"),
+            "deconv": {"kernel": _deconv(state[prefix + ".block.1.weight"]),
+                       "bias": np.asarray(state[prefix + ".block.1.bias"])},
+        }
+    return {
+        "conv1": _convrelu(state, prefix + ".block.1"),
+        "conv2": _convrelu(state, prefix + ".block.2"),
+    }
+
+
+def _decoder_block_v1(state, prefix):
+    """Reference DecoderBlock (src/unet_models.py:42-53) -> our DecoderBlock."""
+    return {
+        "conv1": _convrelu(state, prefix + ".block.0"),
+        "deconv": {"kernel": _deconv(state[prefix + ".block.1.weight"]),
+                   "bias": np.asarray(state[prefix + ".block.1.bias"])},
+    }
+
+
+def _sub(state, prefix):
+    n = len(prefix)
+    return {k[n:]: v for k, v in state.items() if k.startswith(prefix)}
+
+
+def convert_unet_resnet(
+    state: Mapping[str, np.ndarray], depth: int, is_deconv: bool = True
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Full reference UNetResNet state_dict (src/unet_models.py:315-403) ->
+    (params, batch_stats) for mapping_tpu.models.unet_resnet.UNetResNet."""
+    state = strip_module_prefix(state)
+    enc_params, enc_stats = convert_resnet_encoder(_sub(state, "encoder."), depth)
+    params: Dict[str, Any] = {"encoder": enc_params}
+    for name in ("center", "dec5", "dec4", "dec3", "dec2", "dec1"):
+        params[name] = _decoder_block_v2(state, name, is_deconv)
+    params["dec0"] = _convrelu(state, "dec0")
+    params["final"] = _conv_bias(state, "final")
+    return params, {"encoder": enc_stats}
+
+
+def convert_albunet(
+    state: Mapping[str, np.ndarray], is_deconv: bool = True
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference AlbuNet (src/unet_models.py:153-221) — same wiring as
+    UNetResNet(34); our AlbuNet nests it under scope 'unet'."""
+    params, stats = convert_unet_resnet(state, 34, is_deconv)
+    return {"unet": params}, {"unet": stats}
+
+
+def convert_unet11(state: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Full reference UNet11 state_dict (src/unet_models.py:56-106) ->
+    params for mapping_tpu.models.vgg.UNet11 (no batch stats: VGG has no BN)."""
+    state = strip_module_prefix(state)
+    params: Dict[str, Any] = {}
+    for idx in (0, 3, 6, 8, 11, 13, 16, 18):
+        params[f"conv_{idx}"] = _conv_bias(state, f"encoder.{idx}")
+    for name in ("center", "dec5", "dec4", "dec3", "dec2"):
+        params[name] = _decoder_block_v1(state, name)
+    params["dec1"] = _convrelu(state, "dec1")
+    params["final"] = _conv_bias(state, "final")
+    return params
+
+
+_VGG16_STAGES = {
+    "stage1": (0, 2), "stage2": (5, 7), "stage3": (10, 12, 14),
+    "stage4": (17, 19, 21), "stage5": (24, 26, 28),
+}
+
+
+def convert_unet_vgg16(
+    state: Mapping[str, np.ndarray], is_deconv: bool = True
+) -> Dict[str, Any]:
+    """Full reference UNetVGG16 state_dict (src/unet_models.py:224-312) ->
+    params for mapping_tpu.models.vgg.UNetVGG16."""
+    state = strip_module_prefix(state)
+    params: Dict[str, Any] = {}
+    for stage, indices in _VGG16_STAGES.items():
+        params[stage] = {f"conv_{i}": _conv_bias(state, f"encoder.{i}")
+                         for i in indices}
+    for name in ("center", "dec5", "dec4", "dec3", "dec2"):
+        params[name] = _decoder_block_v2(state, name, is_deconv)
+    params["dec1"] = _convrelu(state, "dec1")
+    params["final"] = _conv_bias(state, "final")
+    return params
 
 
 def graft_encoder_params(model_params, encoder_tree, path=("encoder",)):
