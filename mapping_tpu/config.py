@@ -95,6 +95,7 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     # observability / recovery
     "resume_training": 1,
     "resume_every": 5,  # epochs between 'last' checkpoints (large D2H)
+    "best_write_every": 5,  # max epochs between best-checkpoint disk flushes
     "profile_trace": 0,
     "monitor_images": 0,
     # regularization
@@ -217,6 +218,7 @@ def build_config(config_path: Optional[str] = None,
                 "small_annotations_size": params.small_annotations_size,
                 "resume": bool(params.resume_training),
                 "resume_every": int(params.resume_every),
+                "best_write_every": int(params.best_write_every),
                 "profile_trace_dir": (
                     os.path.join(params.experiment_dir, "profile")
                     if params.profile_trace else None),

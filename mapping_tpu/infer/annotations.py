@@ -42,9 +42,17 @@ def labeled_to_annotations(
             continue
         layer = labels[layer_nr]
         layer_scores = scores[layer_nr]
-        # scores are padded to max_instances on device; clamp (an image with
-        # more instances than the pad keeps only the first max_instances)
+        # scores are padded to max_instances on device; postprocess escalates
+        # the pad for dense images, so hitting this clamp means the
+        # MAX_INSTANCES_CEILING was exceeded — never drop silently
         n_instances = min(int(layer.max()), len(layer_scores))
+        if int(layer.max()) > len(layer_scores):
+            from mapping_tpu.utils.logging import get_logger
+
+            get_logger().warning(
+                "annotations: image %d layer %d has %d instances but only "
+                "%d score slots; dropping the tail",
+                int(image_id), layer_nr, int(layer.max()), len(layer_scores))
         if n_instances == 0:
             continue
         h, w = layer.shape

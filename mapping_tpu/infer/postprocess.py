@@ -37,11 +37,10 @@ def layer_thresholds(category_layers: Sequence[int]):
     return out
 
 
-def _restore_erased(binary, eroded):
+def _restore_erased(binary, eroded, n=MAX_INSTANCES):
     """add_dropped_objects (src/utils.py:333-339): components of `binary`
     with no surviving pixel after erosion come back un-eroded."""
     labels = connected_components(binary)
-    n = MAX_INSTANCES
     survived = jax.vmap(
         lambda lab, ero: instance_prob_sums(lab, ero.astype(jnp.float32), n)
     )(labels.reshape((-1,) + labels.shape[-2:]),
@@ -100,7 +99,7 @@ def fused_postprocess(
 
     if erode_size > 0:
         eroded = erode(binary.astype(jnp.uint8), erode_size).astype(bool)
-        binary = _restore_erased(binary, eroded)
+        binary = _restore_erased(binary, eroded, n=max_instances)
 
     labels_a = connected_components(binary)  # (B, LA, th, tw)
 
@@ -146,7 +145,56 @@ def active_layers_for(category_ids, category_layers) -> Tuple[int, ...]:
     return tuple(out)
 
 
+#: escalation ceiling for images denser than the default instance pad
+MAX_INSTANCES_CEILING = 4096
+
+
 def postprocess_probabilities(probs, **kwargs):
-    """Convenience host wrapper returning numpy outputs."""
-    labels, scores, areas = fused_postprocess(jnp.asarray(probs), **kwargs)
-    return np.asarray(labels), np.asarray(scores), np.asarray(areas)
+    """Convenience host wrapper returning numpy outputs.
+
+    Overflow-safe: the fused program pads per-instance outputs to
+    `max_instances`, but CCL itself is uncapped — an image with more
+    components than the pad would silently lose the tail (the reference's
+    host path had no cap at all, src/postprocessing.py:127-132). Detect
+    `labels.max() > max_instances` per image and re-run just the dense
+    images with a doubled pad (each distinct pad compiles once; overflow is
+    rare so the recompile is amortized), up to MAX_INSTANCES_CEILING.
+    """
+    probs = jnp.asarray(probs)
+    max_instances = kwargs.get("max_instances", MAX_INSTANCES)
+    labels, scores, areas = fused_postprocess(probs, **kwargs)
+    labels = np.asarray(labels)
+    scores = np.asarray(scores)
+    areas = np.asarray(areas)
+    counts = labels.max(axis=(1, 2, 3))
+    overflow = np.where(counts > max_instances)[0]
+    if overflow.size == 0:
+        return labels, scores, areas
+    # np.asarray over device arrays is read-only; the overflow rows get
+    # overwritten below
+    labels, scores, areas = labels.copy(), scores.copy(), areas.copy()
+    if max_instances >= MAX_INSTANCES_CEILING:
+        from mapping_tpu.utils.logging import get_logger
+
+        get_logger().warning(
+            "postprocess: %d image(s) exceed the instance-pad ceiling %d "
+            "(max components %d); tail instances will be dropped",
+            overflow.size, MAX_INSTANCES_CEILING, int(counts.max()))
+        return labels, scores, areas
+    from mapping_tpu.utils.logging import get_logger
+
+    get_logger().info(
+        "postprocess: %d image(s) overflow instance pad %d "
+        "(max components %d); re-running them padded to %d",
+        overflow.size, max_instances, int(counts.max()), max_instances * 2)
+    retry_kwargs = dict(kwargs)
+    retry_kwargs["max_instances"] = max_instances * 2
+    labels_r, scores_r, areas_r = postprocess_probabilities(
+        probs[overflow], **retry_kwargs)
+    pad = scores_r.shape[-1] - scores.shape[-1]
+    scores = np.pad(scores, [(0, 0), (0, 0), (0, pad)])
+    areas = np.pad(areas, [(0, 0), (0, 0), (0, pad)])
+    labels[overflow] = labels_r
+    scores[overflow] = scores_r
+    areas[overflow] = areas_r
+    return labels, scores, areas

@@ -236,20 +236,46 @@ class ScoringGBM(_ScoringModelBase):
         self.target = target
 
     def _fit_estimator(self, X_train, y_train, X_valid, y_valid):
+        """Early stopping on the EXPLICIT valid split, like lgb.train with
+        valid_sets + early_stopping_rounds (reference
+        src/steps/sklearn/models.py:75-95). sklearn's HistGBM only knows an
+        internal validation_fraction, so stage the fit with warm_start and
+        score X_valid ourselves; the final model is truncated to the best
+        iteration (lightgbm's predict-at-best_iteration behavior)."""
         from sklearn.ensemble import HistGradientBoostingRegressor
+        from sklearn.metrics import mean_squared_error
 
-        self.estimator = HistGradientBoostingRegressor(
+        params = dict(
             learning_rate=self.model_params.get("learning_rate", 0.01),
             max_leaf_nodes=min(self.model_params.get("num_leaves", 500), 255),
             max_depth=self.model_params.get("max_depth", 20),
-            max_iter=min(self.training_params.get("number_boosting_rounds",
-                                                  500), 1000),
-            early_stopping=True,
-            n_iter_no_change=self.training_params.get(
-                "early_stopping_rounds", 10),
+            # lightgbm min_data(_in_leaf) -> sklearn min_samples_leaf
+            min_samples_leaf=self.model_params.get("min_data", 20),
+            early_stopping=False,
             random_state=1234,
         )
-        self.estimator.fit(X_train, y_train)
+        total = min(int(self.training_params.get(
+            "number_boosting_rounds", 500)), 10000)
+        patience = int(self.training_params.get("early_stopping_rounds", 10))
+        stride = max(1, min(patience, 25))
+        est = HistGradientBoostingRegressor(
+            max_iter=stride, warm_start=True, **params)
+        best_loss, best_iter, n_iter = np.inf, 0, 0
+        while n_iter < total:
+            n_iter = min(n_iter + stride, total)
+            est.set_params(max_iter=n_iter)
+            est.fit(X_train, y_train)
+            loss = mean_squared_error(y_valid, est.predict(X_valid))
+            if loss < best_loss - 1e-12:
+                best_loss, best_iter = loss, n_iter
+            elif n_iter - best_iter >= patience:
+                break
+        if best_iter < n_iter:
+            est = HistGradientBoostingRegressor(
+                max_iter=max(best_iter, 1), warm_start=False, **params)
+            est.fit(X_train, y_train)
+        self.best_iteration_ = max(best_iter, 1)
+        self.estimator = est
 
 
 ScoringLightGBM = ScoringGBM  # reference-name alias

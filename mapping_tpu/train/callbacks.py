@@ -270,17 +270,24 @@ class EarlyStopping(Callback):
 class ModelCheckpoint(Callback):
     """Keep the best checkpoint by validation 'sum' (reference :244-279).
 
-    The best state is held in host RAM (one device pull per improvement) and
-    written to disk once at train end — serializing ~0.5 GB of msgpack per
-    improving epoch dominated wall time on a 1-core host."""
+    The best state is held in host RAM (one device pull per improvement);
+    serializing ~0.5 GB of msgpack per improving epoch dominated wall time on
+    a 1-core host, so disk writes are throttled: an improved best is flushed
+    to best.msgpack at most every `write_every` epochs (plus once at train
+    end), bounding crash loss to `write_every` epochs of best-weight
+    progress instead of the whole run."""
 
-    def __init__(self, checkpoint_dir, minimize=True, epoch_every=1, **_):
+    def __init__(self, checkpoint_dir, minimize=True, epoch_every=1,
+                 write_every=5, **_):
         super().__init__()
         self.checkpoint_dir = checkpoint_dir
         self.minimize = minimize
         self.epoch_every = epoch_every
+        self.write_every = write_every
         self.best = None
         self._best_state = None
+        self._dirty = False
+        self._last_write_epoch = None
 
     @property
     def best_path(self):
@@ -290,6 +297,8 @@ class ModelCheckpoint(Callback):
         super().on_train_begin(*a, **kw)
         self.best = None
         self._best_state = None
+        self._dirty = False
+        self._last_write_epoch = None
         os.makedirs(self.checkpoint_dir, exist_ok=True)
 
     def on_epoch_end(self, *a, **kw):
@@ -316,20 +325,30 @@ class ModelCheckpoint(Callback):
                 }
                 logger.info("epoch %d new best checkpoint (score=%s)",
                             self.epoch_id, value)
+                self._dirty = True
+        if self._dirty and self.write_every and (
+                self._last_write_epoch is None
+                or self.epoch_id - self._last_write_epoch >= self.write_every):
+            self._write_best()
         super().on_epoch_end(*a, **kw)
 
-    def on_train_end(self, *a, **kw):
-        if self._best_state is not None:
-            import flax
+    def _write_best(self):
+        import flax
 
-            os.makedirs(self.checkpoint_dir, exist_ok=True)
-            data = flax.serialization.to_bytes(self._best_state)
-            tmp = self.best_path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(data)
-            os.replace(tmp, self.best_path)
-            logger.info("best checkpoint written to %s (score=%s)",
-                        self.best_path, self.best)
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        data = flax.serialization.to_bytes(self._best_state)
+        tmp = self.best_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, self.best_path)
+        self._dirty = False
+        self._last_write_epoch = self.epoch_id
+        logger.info("best checkpoint written to %s (score=%s)",
+                    self.best_path, self.best)
+
+    def on_train_end(self, *a, **kw):
+        if self._best_state is not None and self._dirty:
+            self._write_best()
         super().on_train_end(*a, **kw)
 
 
@@ -514,7 +533,8 @@ def default_unet_callbacks(callbacks_config) -> CallbackList:
         ExperimentTiming(),
         TrainingMonitor(),
         validation_cls(**cc),
-        ModelCheckpoint(cc["checkpoint_dir"], minimize=cc.get("minimize", True)),
+        ModelCheckpoint(cc["checkpoint_dir"], minimize=cc.get("minimize", True),
+                        write_every=cc.get("best_write_every", 5)),
         EarlyStopping(patience=cc.get("patience", 30),
                       minimize=cc.get("minimize", True)),
         MetricsMonitor(sink=MetricSink(os.path.join(

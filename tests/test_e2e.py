@@ -10,6 +10,8 @@ import yaml
 
 from tests.fixtures.synthetic import generate
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

@@ -76,3 +76,51 @@ def test_fused_erosion_restore_matches_reference_rule():
             restored |= comp
     expected, _ = ndimage.label(restored)
     np.testing.assert_array_equal(got, expected)
+
+
+def test_instance_overflow_escalates_pad():
+    """An image with more components than the default pad must keep every
+    instance (VERDICT r1 weak #3): postprocess_probabilities re-runs dense
+    images with a doubled pad instead of silently truncating."""
+    from mapping_tpu.infer.postprocess import postprocess_probabilities
+
+    h = w = 80
+    fg = np.zeros((h, w), np.float32)
+    fg[::2, ::2] = 0.9  # 40x40 = 1600 isolated single-pixel components
+    probs = np.stack([1 - fg, fg], -1)[None]
+
+    labels, scores, areas = postprocess_probabilities(
+        probs, target_size=(h, w), category_layers=(1, 1),
+        max_instances=256, active_layers=(1,))
+    n = int(labels[0, 1].max())
+    assert n == 1600
+    assert scores.shape[-1] >= n
+    # every instance got a real score (single 0.9 pixel: 0.9 * sqrt(1))
+    got = scores[0, 1, :n]
+    np.testing.assert_allclose(got, 0.9, rtol=1e-4)
+    assert (areas[0, 1, :n] == 1).all()
+
+
+def test_instance_overflow_batch_mixed():
+    """Escalation only re-runs the overflowing images; the rest keep their
+    original results."""
+    from mapping_tpu.infer.postprocess import postprocess_probabilities
+
+    h = w = 64
+    dense = np.zeros((h, w), np.float32)
+    dense[::2, ::2] = 0.9  # 1024 components > pad of 64
+    sparse = np.zeros((h, w), np.float32)
+    sparse[10:20, 10:20] = 0.8
+    probs = np.stack([
+        np.stack([1 - dense, dense], -1),
+        np.stack([1 - sparse, sparse], -1),
+    ])
+
+    labels, scores, _ = postprocess_probabilities(
+        probs, target_size=(h, w), category_layers=(1, 1),
+        max_instances=64, active_layers=(1,))
+    assert int(labels[0, 1].max()) == 1024
+    assert scores.shape[-1] >= 1024
+    assert int(labels[1, 1].max()) == 1
+    expected = 0.8 * np.sqrt(100)
+    assert scores[1, 1, 0] == pytest.approx(expected, rel=1e-4)

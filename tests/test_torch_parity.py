@@ -29,6 +29,8 @@ from mapping_tpu.models.torch_convert import (
     strip_module_prefix,
 )
 from tests.torch_ref_models import (
+
+pytestmark = pytest.mark.slow
     TorchUNet11,
     TorchUNetResNet,
     TorchUNetVGG16,
