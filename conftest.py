@@ -17,3 +17,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the fast suite is compile-bound on this
+# 1-core host; cached XLA executables make repeat runs (~CI) several times
+# faster. Scoped to a stable path so it survives across sessions.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mapping_tpu_test_jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mapping_tpu.ops.ccl import connected_components
-from mapping_tpu.ops.instance import instance_areas, instance_prob_sums
+from mapping_tpu.ops.instance import (instance_areas_and_prob_sums,
+                                      instance_prob_sums)
 from mapping_tpu.ops.morphology import dilate, erode
 
 MAX_INSTANCES = 256
@@ -111,10 +112,10 @@ def fused_postprocess(
     layer_probs = jnp.stack([probs_r[..., specs[l][1]] for l in active], axis=1)
     flat_labels = labels_a.reshape((-1, th, tw))
     flat_probs = layer_probs.reshape((-1, th, tw))
-    areas = jax.vmap(lambda l: instance_areas(l, max_instances))(flat_labels)
-    sums = jax.vmap(
-        lambda l, p: instance_prob_sums(l, p, max_instances)
-    )(flat_labels, flat_probs)
+    # dense one-hot matmul reductions (MXU) — segment_sum scatters serialize
+    # on TPU and were the postprocess hot spot alongside renumbering
+    areas, sums = instance_areas_and_prob_sums(flat_labels, flat_probs,
+                                               max_instances)
     areas_i = areas[:, 1:]
     sums_i = sums[:, 1:]
     safe = jnp.maximum(areas_i, 1).astype(jnp.float32)

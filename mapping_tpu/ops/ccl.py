@@ -144,9 +144,16 @@ def connected_components(mask, max_iters=None, renumber=True, backend="auto"):
     if backend == "auto":
         backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "jnp"
     if backend == "pallas":
+        flat = mask_b.reshape((-1, h, w))
+        if renumber:
+            # fused renumbering: the cumsum+gather _renumber costs ~1 ms/img
+            # on TPU (serialized gather); the kernel spreads root ranks with
+            # the same VMEM sweeps instead (ops/ccl_pallas.py)
+            from mapping_tpu.ops.ccl_pallas import label_pallas
+
+            return label_pallas(flat, max_iters).reshape(mask.shape)
         from mapping_tpu.ops.ccl_pallas import label_raw_pallas
 
-        flat = mask_b.reshape((-1, h, w))
         labels = label_raw_pallas(flat, max_iters).reshape(mask.shape)
     else:
         labels = _label_raw(mask_b, max_iters)

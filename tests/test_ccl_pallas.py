@@ -37,3 +37,27 @@ def test_pallas_ccl_matches_scipy(case_idx):
     for b in range(m.shape[0]):
         expected, n = ndimage.label(m[b])
         np.testing.assert_array_equal(labels[b], expected)
+
+
+@pytest.mark.parametrize("case_idx", range(5))
+def test_pallas_fused_renumber_matches_scipy(case_idx):
+    """label_pallas fuses renumbering into the kernel (root-rank propagation,
+    no host gather); must match scipy.ndimage.label exactly."""
+    from mapping_tpu.ops.ccl_pallas import label_pallas
+
+    m = _cases()[case_idx]
+    labels = np.asarray(label_pallas(jnp.asarray(m), interpret=True))
+    for b in range(m.shape[0]):
+        expected, n = ndimage.label(m[b])
+        np.testing.assert_array_equal(labels[b], expected)
+
+
+def test_pallas_fused_renumber_fuzz():
+    rng = np.random.RandomState(7)
+    m = rng.rand(4, 64, 64) > 0.6
+    from mapping_tpu.ops.ccl_pallas import label_pallas
+
+    labels = np.asarray(label_pallas(jnp.asarray(m), interpret=True))
+    for b in range(4):
+        expected, _ = ndimage.label(m[b])
+        np.testing.assert_array_equal(labels[b], expected)

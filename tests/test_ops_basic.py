@@ -151,3 +151,20 @@ def test_instance_bboxes():
     boxes = np.asarray(inst.instance_bboxes(labels, max_instances=2))
     np.testing.assert_array_equal(boxes[0], [2, 5, 3, 9])
     np.testing.assert_array_equal(boxes[1], [0, 0, 0, 0])
+
+
+def test_instance_areas_and_prob_sums_dense_matches_scatter():
+    """Dense one-hot matmul reductions vs the segment_sum oracle: areas exact,
+    prob sums to ~1e-6 (bf16 hi/lo split)."""
+    rng = np.random.RandomState(3)
+    import jax.numpy as jnp
+
+    labels = jnp.asarray(rng.randint(0, 9, (3, 40, 40)).astype(np.int32))
+    probs = jnp.asarray(rng.rand(3, 40, 40).astype(np.float32))
+    areas, sums = inst.instance_areas_and_prob_sums(labels, probs, 8)
+    for b in range(3):
+        a_ref = np.asarray(inst.instance_areas(labels[b], 8))
+        s_ref = np.asarray(inst.instance_prob_sums(labels[b], probs[b], 8))
+        np.testing.assert_array_equal(np.asarray(areas[b]), a_ref)
+        np.testing.assert_allclose(np.asarray(sums[b]), s_ref, rtol=3e-6,
+                                   atol=1e-5)

@@ -29,13 +29,13 @@ from mapping_tpu.models.torch_convert import (
     strip_module_prefix,
 )
 from tests.torch_ref_models import (
-
-pytestmark = pytest.mark.slow
     TorchUNet11,
     TorchUNetResNet,
     TorchUNetVGG16,
     randomize_bn_stats,
 )
+
+pytestmark = pytest.mark.slow
 
 torch.set_num_threads(2)
 

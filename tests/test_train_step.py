@@ -3,6 +3,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from mapping_tpu.models import UNet
@@ -37,6 +38,7 @@ def _make_state(seed=0, h=32, w=32):
         model, jax.random.PRNGKey(seed), (1, h, w, 3), tx)
 
 
+@pytest.mark.slow
 def test_loss_decreases():
     state = _make_state()
     batch = _toy_batch()
@@ -58,6 +60,7 @@ def test_eval_step_runs():
     assert np.isfinite(float(val))
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_mesh():
     assert len(jax.devices()) == 8, "conftest should fake 8 CPU devices"
     mesh = make_mesh()

@@ -2,6 +2,7 @@
 'data' axis and match the single-device run."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,7 @@ def _datagen(n=8):
     return (Flow(), 1)
 
 
+@pytest.mark.slow
 def test_trainer_mesh_matches_single_device():
     assert len(jax.devices()) == 8
     datagen = _datagen()
