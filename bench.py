@@ -35,14 +35,20 @@ def _build(batch, size, n_queue):
     from mapping_tpu.infer.postprocess import fused_postprocess
     from mapping_tpu.models import build_network
 
-    model = build_network({"encoder": "ResNet101"})
+    from mapping_tpu.models.fold_bn import folded_inference_model
+
+    base_model = build_network({"encoder": "ResNet101"})
     x = jnp.zeros((1, size, size, 3), jnp.float32)
 
     @jax.jit
     def init(rng):
-        return model.init({"params": rng}, x, train=False)
+        return base_model.init({"params": rng}, x, train=False)
 
-    variables = init(jax.random.PRNGKey(0))
+    raw = init(jax.random.PRNGKey(0))
+    # serving path: BN folded into conv weights (models/fold_bn.py)
+    model, params = folded_inference_model(base_model, raw["params"],
+                                           raw["batch_stats"])
+    variables = {"params": params}
 
     def fused_one(variables, images):
         logits = model.apply(variables, images, train=False)

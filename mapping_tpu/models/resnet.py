@@ -20,19 +20,27 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-def conv_bn(mdl, x, features, kernel, stride, dtype, conv_name, bn_name, train):
-    """Conv -> BatchNorm in the caller's scope (names match torchvision)."""
+def conv_bn(mdl, x, features, kernel, stride, dtype, conv_name, bn_name, train,
+            fold_bn=False):
+    """Conv -> BatchNorm in the caller's scope (names match torchvision).
+
+    fold_bn=True builds the inference-only folded variant: a biased conv with
+    no BatchNorm — params produced by models.fold_bn.fold_batch_stats
+    (w' = w * gamma/sqrt(var+eps), b' = beta - mean*gamma/sqrt(var+eps)).
+    Removes every BN elementwise pass + f32 round-trip from the forward."""
     pad = kernel // 2
     x = nn.Conv(
         features,
         (kernel, kernel),
         strides=(stride, stride),
         padding=[(pad, pad), (pad, pad)],
-        use_bias=False,
+        use_bias=fold_bn,
         dtype=dtype,
         name=conv_name,
         parent=mdl,
     )(x)
+    if fold_bn:
+        return x
     x = nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,
@@ -49,19 +57,20 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = conv_bn(self, x, self.features, 3, self.stride, self.dtype,
-                      "conv1", "bn1", train)
+                      "conv1", "bn1", train, self.fold_bn)
         out = nn.relu(out)
         out = conv_bn(self, out, self.features, 3, 1, self.dtype,
-                      "conv2", "bn2", train)
+                      "conv2", "bn2", train, self.fold_bn)
         if self.downsample:
             identity = conv_bn(self, x, self.features, 1, self.stride,
                                self.dtype, "downsample_conv", "downsample_bn",
-                               train)
+                               train, self.fold_bn)
         return nn.relu(out + identity)
 
 
@@ -72,22 +81,23 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
         out = conv_bn(self, x, self.features, 1, 1, self.dtype,
-                      "conv1", "bn1", train)
+                      "conv1", "bn1", train, self.fold_bn)
         out = nn.relu(out)
         out = conv_bn(self, out, self.features, 3, self.stride, self.dtype,
-                      "conv2", "bn2", train)
+                      "conv2", "bn2", train, self.fold_bn)
         out = nn.relu(out)
         out = conv_bn(self, out, self.features * 4, 1, 1, self.dtype,
-                      "conv3", "bn3", train)
+                      "conv3", "bn3", train, self.fold_bn)
         if self.downsample:
             identity = conv_bn(self, x, self.features * 4, 1, self.stride,
                                self.dtype, "downsample_conv", "downsample_bn",
-                               train)
+                               train, self.fold_bn)
         return nn.relu(out + identity)
 
 
@@ -108,6 +118,7 @@ class ResNetEncoder(nn.Module):
 
     depth: int = 34
     dtype: Dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @property
     def bottom_channels(self):
@@ -116,7 +127,8 @@ class ResNetEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         block_cls, layers, _ = _CONFIGS[self.depth]
-        x = conv_bn(self, x, 64, 7, 2, self.dtype, "conv1", "bn1", train)
+        x = conv_bn(self, x, 64, 7, 2, self.dtype, "conv1", "bn1", train,
+                    self.fold_bn)
         x = nn.relu(x)
         # The reference's UNet stem swaps torchvision's 3x3 maxpool for a
         # plain 2x2/2 pool (src/unet_models.py:356-363); same H/4 output.
@@ -135,6 +147,7 @@ class ResNetEncoder(nn.Module):
                     stride if b == 0 else 1,
                     downsample=needs_down,
                     dtype=self.dtype,
+                    fold_bn=self.fold_bn,
                     name=f"layer{stage + 1}_{b}",
                 )(x, train)
             feats.append(x)

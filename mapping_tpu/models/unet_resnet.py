@@ -32,13 +32,15 @@ class UNetResNet(nn.Module):
     dropout_2d: float = 0.0
     is_deconv: bool = True
     dtype: Dtype = jnp.bfloat16
+    fold_bn: bool = False  # inference-only: BN folded into conv weights
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         nf = self.num_filters
         x = x.astype(self.dtype)
         conv1, conv2, conv3, conv4, conv5 = ResNetEncoder(
-            self.encoder_depth, self.dtype, name="encoder"
+            self.encoder_depth, self.dtype, fold_bn=self.fold_bn,
+            name="encoder"
         )(x, train)
 
         pool = nn.max_pool(conv5, (2, 2), strides=(2, 2))
@@ -73,6 +75,7 @@ class AlbuNet(nn.Module):
     num_filters: int = 32
     is_deconv: bool = True
     dtype: Dtype = jnp.bfloat16
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -83,5 +86,6 @@ class AlbuNet(nn.Module):
             dropout_2d=0.0,
             is_deconv=self.is_deconv,
             dtype=self.dtype,
+            fold_bn=self.fold_bn,
             name="unet",
         )(x, train)

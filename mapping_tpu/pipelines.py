@@ -178,8 +178,7 @@ class UNetPipeline:
             return
         specs = tta_specs(**dict(self.config.tta_generator))
         method = self.config.tta_aggregator.method
-        self.trainer._ensure_state()
-        predict = partial(self.trainer._predict_step, self.trainer.state)
+        predict = self.trainer.predict_probs_fn()  # BN-folded when available
         tta_run = tta_wrap_predict(predict, specs, method)
         flow, steps = datagen
         for batch_id, batch in enumerate(flow):

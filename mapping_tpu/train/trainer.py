@@ -67,6 +67,9 @@ class UNetTrainer:
         self._train_step = None
         self._eval_step = None
         self._predict_step = None
+        self._fold_step = None
+        self._fold_params = None
+        self._fold_key = None
 
     # ------------------------------------------------------------- state
     def _ensure_state(self, steps_per_epoch: int = 1):
@@ -201,6 +204,46 @@ class UNetTrainer:
         return {"sum": np.mean(losses) if losses else np.nan}
 
     # ----------------------------------------------------------- predict
+    def predict_probs_fn(self):
+        """One (images) -> probabilities function for serving.
+
+        Uses the BN-folded inference variant when the model family supports
+        it (models/fold_bn.py): BN's affine map folds into the conv weights,
+        removing all BN elementwise passes + f32 round-trips from the
+        compiled forward. Falls back to the standard predict step otherwise.
+        Folded params are re-derived whenever the TrainState's params change
+        (e.g. after load()).
+        """
+        self._ensure_state()
+        from mapping_tpu.models.fold_bn import can_fold, fold_batch_stats
+
+        has_bs = bool(jax.tree_util.tree_leaves(self.state.batch_stats))
+        if not can_fold(self.model) or not has_bs:
+            return lambda images: self._predict_step(self.state, images)
+        if self._fold_step is None:
+            import jax.numpy as jnp
+
+            folded_model = self.model.clone(fold_bn=True)
+
+            @jax.jit
+            def fold_step(params, images):
+                logits = folded_model.apply({"params": params}, images,
+                                            train=False)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+            self._fold_step = fold_step
+        key = id(self.state.params)
+        if self._fold_key != key:
+            self._fold_params = jax.jit(fold_batch_stats)(
+                self.state.params, self.state.batch_stats)
+            if self.mesh is not None:
+                from mapping_tpu.parallel import shard_pytree_replicated
+
+                self._fold_params = shard_pytree_replicated(
+                    self._fold_params, self.mesh)
+            self._fold_key = key
+        return lambda images: self._fold_step(self._fold_params, images)
+
     def predict_probs_datagen(self, datagen) -> Iterable[np.ndarray]:
         """Yield per-batch softmax probabilities (N, H, W, C).
 
@@ -209,13 +252,14 @@ class UNetTrainer:
         """
         flow, steps = datagen
         self._ensure_state()
+        predict = self.predict_probs_fn()
         for batch_id, batch in enumerate(flow):
             images = batch["image"] if isinstance(batch, dict) else batch
             if self.mesh is not None:
                 from mapping_tpu.parallel import shard_batch
 
                 images = shard_batch(images, self.mesh)
-            yield self._predict_step(self.state, images)
+            yield predict(images)
             if batch_id + 1 >= steps:
                 break
 
