@@ -46,6 +46,10 @@ def make_sharded_infer(apply_fn, mesh: Mesh,
             active_layers=active_layers)
         return labels, scores
 
+    return _jit_sharded(per_device, mesh)
+
+
+def _jit_sharded(per_device, mesh):
     kwargs = dict(mesh=mesh, in_specs=(P(), P(DATA_AXIS)),
                   out_specs=(P(DATA_AXIS), P(DATA_AXIS)))
     try:
@@ -55,3 +59,36 @@ def make_sharded_infer(apply_fn, mesh: Mesh,
     except TypeError:  # pragma: no cover - older jax spelling
         sharded = shard_map(per_device, check_rep=False, **kwargs)
     return jax.jit(sharded)
+
+
+def make_sharded_tta_infer(apply_fn, mesh: Mesh, specs, method: str = "gmean",
+                           target_size: Tuple[int, int] = (300, 300),
+                           category_layers: Tuple[int, ...] = (1, 1),
+                           active_layers: Tuple[int, ...] = None,
+                           erode_size: int = 0,
+                           dilate_size: int = 0):
+    """Mesh-sharded TTA serving: the reference's best-quality inference path
+    (TTA expand -> forward -> inverse -> aggregate, src/loaders.py:401-517)
+    fused with postprocess and sharded over 'data'.
+
+    Each device expands its local image shard into the V TTA variants,
+    runs the forward on the (local_batch * V) stack, inverse-transforms,
+    aggregates (gmean default), and postprocesses — all inside one shard_map
+    body, so multi-chip TTA needs no cross-chip traffic beyond the
+    replicated-params read.
+    """
+    from mapping_tpu.data.tta import tta_wrap_predict
+
+    def per_device(variables, images):
+        def predict(flat):
+            logits = apply_fn(variables, flat)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+        probs = tta_wrap_predict(predict, specs, method)(images)
+        labels, scores, _ = fused_postprocess(
+            probs, target_size=target_size, category_layers=category_layers,
+            erode_size=erode_size, dilate_size=dilate_size,
+            active_layers=active_layers)
+        return labels, scores
+
+    return _jit_sharded(per_device, mesh)
