@@ -20,6 +20,7 @@ import numpy as np
 
 from mapping_tpu.ops.ccl import connected_components
 from mapping_tpu.ops.instance import (instance_areas_and_prob_sums,
+                                      instance_feature_tensor,
                                       instance_prob_sums)
 from mapping_tpu.ops.morphology import dilate, erode
 
@@ -60,7 +61,8 @@ def _restore_erased(binary, eroded, n=MAX_INSTANCES):
 
 @partial(jax.jit, static_argnames=("target_size", "category_layers",
                                    "erode_size", "dilate_size",
-                                   "max_instances", "active_layers"))
+                                   "max_instances", "active_layers",
+                                   "compute_features"))
 def fused_postprocess(
     probs,
     target_size: Tuple[int, int] = (300, 300),
@@ -69,9 +71,11 @@ def fused_postprocess(
     dilate_size: int = 0,
     max_instances: int = MAX_INSTANCES,
     active_layers: Tuple[int, ...] = None,
+    compute_features: bool = False,
 ):
     """probs (B, H, W, C) float -> labels (B, L, th, tw) int32,
-    scores (B, L, max_instances) f32, areas (B, L, max_instances) i32.
+    scores (B, L, max_instances) f32, areas (B, L, max_instances) i32
+    [, features (B, L, max_instances, 9) f32 when compute_features].
 
     L = sum(category_layers); layer l uses its category's prob channel for
     scoring (searchsorted mapping, reference src/postprocessing.py:274-283).
@@ -82,6 +86,12 @@ def fused_postprocess(
     skips them (src/utils.py:95-99) and the scoring path drops layer 0
     features (src/models.py:457-462)). Inactive layers return zero labels.
     None means all layers.
+
+    compute_features=True additionally emits the per-instance scoring
+    feature tensor (ops.instance.FEATURE_COLUMNS order) for the second-level
+    scoring models — the reference extracted these per instance on host
+    (src/postprocessing.py:261-303); here they never leave the device until
+    the compact table is pulled.
     """
     b = probs.shape[0]
     th, tw = target_size
@@ -131,7 +141,14 @@ def fused_postprocess(
     scores = scores.at[:, idx].set(scores_a.reshape(b, la, max_instances))
     areas_out = areas_out.at[:, idx].set(
         areas_i.reshape(b, la, max_instances))
-    return labels, scores, areas_out
+    if not compute_features:
+        return labels, scores, areas_out
+    feats_a = instance_feature_tensor(flat_labels, flat_probs, max_instances)
+    features = jnp.zeros((b, L, max_instances, feats_a.shape[-1]),
+                         jnp.float32)
+    features = features.at[:, idx].set(
+        feats_a.reshape(b, la, max_instances, feats_a.shape[-1]))
+    return labels, scores, areas_out, features
 
 
 def active_layers_for(category_ids, category_layers) -> Tuple[int, ...]:
@@ -163,17 +180,12 @@ def postprocess_probabilities(probs, **kwargs):
     """
     probs = jnp.asarray(probs)
     max_instances = kwargs.get("max_instances", MAX_INSTANCES)
-    labels, scores, areas = fused_postprocess(probs, **kwargs)
-    labels = np.asarray(labels)
-    scores = np.asarray(scores)
-    areas = np.asarray(areas)
+    outs = [np.asarray(o) for o in fused_postprocess(probs, **kwargs)]
+    labels = outs[0]
     counts = labels.max(axis=(1, 2, 3))
     overflow = np.where(counts > max_instances)[0]
     if overflow.size == 0:
-        return labels, scores, areas
-    # np.asarray over device arrays is read-only; the overflow rows get
-    # overwritten below
-    labels, scores, areas = labels.copy(), scores.copy(), areas.copy()
+        return tuple(outs)
     if max_instances >= MAX_INSTANCES_CEILING:
         from mapping_tpu.utils.logging import get_logger
 
@@ -181,7 +193,7 @@ def postprocess_probabilities(probs, **kwargs):
             "postprocess: %d image(s) exceed the instance-pad ceiling %d "
             "(max components %d); tail instances will be dropped",
             overflow.size, MAX_INSTANCES_CEILING, int(counts.max()))
-        return labels, scores, areas
+        return tuple(outs)
     from mapping_tpu.utils.logging import get_logger
 
     get_logger().info(
@@ -190,12 +202,16 @@ def postprocess_probabilities(probs, **kwargs):
         overflow.size, max_instances, int(counts.max()), max_instances * 2)
     retry_kwargs = dict(kwargs)
     retry_kwargs["max_instances"] = max_instances * 2
-    labels_r, scores_r, areas_r = postprocess_probabilities(
-        probs[overflow], **retry_kwargs)
-    pad = scores_r.shape[-1] - scores.shape[-1]
-    scores = np.pad(scores, [(0, 0), (0, 0), (0, pad)])
-    areas = np.pad(areas, [(0, 0), (0, 0), (0, pad)])
-    labels[overflow] = labels_r
-    scores[overflow] = scores_r
-    areas[overflow] = areas_r
-    return labels, scores, areas
+    retried = postprocess_probabilities(probs[overflow], **retry_kwargs)
+    # np.asarray over device arrays is read-only -> copy before writing the
+    # overflow rows. Outputs beyond labels pad along the instances axis (2).
+    merged = [labels.copy()]
+    merged[0][overflow] = retried[0]
+    for out, out_r in zip(outs[1:], retried[1:]):
+        pad = out_r.shape[2] - out.shape[2]
+        widths = [(0, 0)] * out.ndim
+        widths[2] = (0, pad)
+        out = np.pad(out, widths)
+        out[overflow] = out_r
+        merged.append(out)
+    return tuple(merged)

@@ -33,6 +33,19 @@ def instance_prob_sums(labels, probabilities, max_instances):
     )
 
 
+def _bf16_split(x):
+    """(hi, lo) bf16 pair with hi + lo = x to ~2^-16 relative.
+
+    Implemented with lax.reduce_precision: a bare f32->bf16->f32 convert pair
+    is folded away by XLA's algebraic simplifier under jit, which silently
+    turns the split into plain bf16 (lo becomes exactly 0). reduce_precision
+    rounds in-dtype and cannot be folded; the subsequent bf16 cast of hi is
+    exact."""
+    hi_f32 = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    lo = x - hi_f32
+    return hi_f32.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
 @partial(jax.jit, static_argnames=("max_instances", "pixel_chunk"))
 def instance_areas_and_prob_sums(labels, probabilities, max_instances,
                                  pixel_chunk=2048):
@@ -53,8 +66,7 @@ def instance_areas_and_prob_sums(labels, probabilities, max_instances,
     flat_l = labels.reshape(m, p)
     flat_p = probabilities.reshape(m, p).astype(jnp.float32)
     iota = jnp.arange(n, dtype=jnp.int32)
-    hi = flat_p.astype(jnp.bfloat16)
-    lo = (flat_p - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, lo = _bf16_split(flat_p)
     vals = jnp.stack([jnp.ones_like(hi), hi, lo], axis=1)  # (M, 3, P)
 
     def reduce_chunk(lc, vc):
@@ -78,6 +90,168 @@ def instance_areas_and_prob_sums(labels, probabilities, max_instances,
     areas = acc[:, 0].astype(jnp.int32)
     sums = acc[:, 1] + acc[:, 2]
     return areas, sums
+
+
+#: column order of instance_feature_tensor (threshold + GT iou are appended
+#: host-side; reference feature list: src/postprocessing.py:286-303)
+FEATURE_COLUMNS = ("area", "mean_prob", "max_prob", "bbox_ar", "bbox_area",
+                   "bbox_fill", "min_dist_to_border", "max_dist_to_border",
+                   "contour_length")
+
+
+@partial(jax.jit, static_argnames=("max_instances", "pixel_chunk"))
+def instance_feature_tensor(labels, probabilities, max_instances,
+                            pixel_chunk=2048):
+    """All per-instance scoring features in one device pass — replaces the
+    reference's per-instance host loop (get_features_for_mask,
+    src/postprocessing.py:286-303) and round-1's Python bbox/contour loops.
+
+    labels (M, H, W) int32 in 0..N, probabilities (M, H, W) float ->
+    (M, max_instances, 9) float32 ordered as FEATURE_COLUMNS. Padding slots
+    (area 0) are all-zero rows.
+
+    Same dense chunked one-hot strategy as instance_areas_and_prob_sums: the
+    prob sums ride a bf16 hi/lo matmul on the MXU; max/bbox reductions fuse
+    the one-hot compare into VPU reduces. Contour length = area - interior
+    count, where a pixel is interior iff all 4 neighbors carry the SAME
+    label — exactly the per-instance 4-neighbor erosion of the host oracle
+    (scoring._contour_length), including the dilated-labels case where
+    different instances may touch.
+    """
+    m, h, w = labels.shape
+    p = h * w
+    n = max_instances + 1
+    big = jnp.int32(1 << 30)
+
+    def same(axis, d):
+        rolled = jnp.roll(labels, d, axis=axis)
+        eq = rolled == labels
+        # out-of-bounds neighbors count as same: the host oracle's erosion
+        # (scoring._contour_length) only constrains directions that exist,
+        # so border pixels stay interior toward the image edge
+        idx = jax.lax.broadcasted_iota(jnp.int32, labels.shape, axis)
+        size = labels.shape[axis]
+        oob = (idx < d) if d > 0 else (idx >= size + d)
+        return eq | oob
+
+    interior = ((labels > 0) & same(1, 1) & same(1, -1)
+                & same(2, 1) & same(2, -1))
+
+    flat_l = labels.reshape(m, p)
+    flat_p = probabilities.reshape(m, p).astype(jnp.float32)
+    flat_i = interior.reshape(m, p)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).reshape(p)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).reshape(p)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    hi, lo = _bf16_split(flat_p)
+    ones = jnp.ones_like(hi)
+    int_b = flat_i.astype(jnp.bfloat16)
+    vals = jnp.stack([ones, hi, lo, int_b], axis=1)  # (M, 4, P)
+
+    pc = min(pixel_chunk, p)
+    n_chunks = p // pc
+
+    def reduce_chunk(carry, start):
+        sums, pmax, rmin, rmax, cmin, cmax = carry
+        lc = jax.lax.dynamic_slice_in_dim(flat_l, start, pc, axis=1)
+        vc = jax.lax.dynamic_slice_in_dim(vals, start, pc, axis=2)
+        pcv = jax.lax.dynamic_slice_in_dim(flat_p, start, pc, axis=1)
+        rc = jax.lax.dynamic_slice(rows, (start,), (pc,))
+        cc = jax.lax.dynamic_slice(cols, (start,), (pc,))
+        eq = lc[:, :, None] == iota  # (M, pc, N)
+        sums = sums + jnp.einsum("bvp,bpn->bvn", vc,
+                                 eq.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+        pmax = jnp.maximum(pmax, jnp.max(
+            jnp.where(eq, pcv[:, :, None], 0.0), axis=1))
+        rmin = jnp.minimum(rmin, jnp.min(
+            jnp.where(eq, rc[None, :, None], big), axis=1))
+        rmax = jnp.maximum(rmax, jnp.max(
+            jnp.where(eq, rc[None, :, None], -1), axis=1))
+        cmin = jnp.minimum(cmin, jnp.min(
+            jnp.where(eq, cc[None, :, None], big), axis=1))
+        cmax = jnp.maximum(cmax, jnp.max(
+            jnp.where(eq, cc[None, :, None], -1), axis=1))
+        return (sums, pmax, rmin, rmax, cmin, cmax), None
+
+    init = (jnp.zeros((m, 4, n), jnp.float32),
+            jnp.zeros((m, n), jnp.float32),
+            jnp.full((m, n), big, jnp.int32),
+            jnp.full((m, n), -1, jnp.int32),
+            jnp.full((m, n), big, jnp.int32),
+            jnp.full((m, n), -1, jnp.int32))
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * pc
+    (sums, pmax, rmin, rmax, cmin, cmax), _ = jax.lax.scan(
+        reduce_chunk, init, starts)
+    rem = p - n_chunks * pc
+    if rem:
+        pad = pc - rem
+        # pad the tail with background pixels (label 0 never emits features)
+        flat_l = jnp.pad(flat_l, ((0, 0), (0, pad)))
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad)))
+        flat_p = jnp.pad(flat_p, ((0, 0), (0, pad)))
+        rows = jnp.pad(rows, (0, pad), constant_values=big)
+        cols = jnp.pad(cols, (0, pad), constant_values=big)
+        # rebind closures via explicit call
+        lc = flat_l[:, -pc:]
+        vc = vals[:, :, -pc:]
+        pcv = flat_p[:, -pc:]
+        rc = rows[-pc:]
+        cc = cols[-pc:]
+        eq = lc[:, :, None] == iota
+        sums = sums + jnp.einsum("bvp,bpn->bvn", vc,
+                                 eq.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)
+        pmax = jnp.maximum(pmax, jnp.max(
+            jnp.where(eq, pcv[:, :, None], 0.0), axis=1))
+        rmin = jnp.minimum(rmin, jnp.min(
+            jnp.where(eq & (rc[None, :, None] < big),
+                      rc[None, :, None], big), axis=1))
+        rmax = jnp.maximum(rmax, jnp.max(
+            jnp.where(eq & (rc[None, :, None] < big),
+                      rc[None, :, None], -1), axis=1))
+        cmin = jnp.minimum(cmin, jnp.min(
+            jnp.where(eq & (cc[None, :, None] < big),
+                      cc[None, :, None], big), axis=1))
+        cmax = jnp.maximum(cmax, jnp.max(
+            jnp.where(eq & (cc[None, :, None] < big),
+                      cc[None, :, None], -1), axis=1))
+
+    area = sums[:, 0]
+    prob_sum = sums[:, 1] + sums[:, 2]
+    interior_count = sums[:, 3]
+    # drop background column, keep instances 1..max_instances
+    area = area[:, 1:]
+    prob_sum = prob_sum[:, 1:]
+    interior_count = interior_count[:, 1:]
+    pmax = pmax[:, 1:]
+    rmin, rmax = rmin[:, 1:], rmax[:, 1:]
+    cmin, cmax = cmin[:, 1:], cmax[:, 1:]
+
+    nonempty = area > 0.5
+    safe_area = jnp.maximum(area, 1.0)
+    mean_prob = prob_sum / safe_area
+    bh = (rmax + 1 - rmin).astype(jnp.float32)
+    bw = (cmax + 1 - cmin).astype(jnp.float32)
+    bh = jnp.maximum(bh, 1.0)
+    bw = jnp.maximum(bw, 1.0)
+    bbox_ar = bh / bw
+    bbox_area = bh * bw
+    bbox_fill = area / bbox_area
+    d_top = rmin.astype(jnp.float32)
+    d_bottom = (h - (rmax + 1)).astype(jnp.float32)
+    d_left = cmin.astype(jnp.float32)
+    d_right = (w - (cmax + 1)).astype(jnp.float32)
+    dmin = jnp.minimum(jnp.minimum(d_top, d_bottom),
+                       jnp.minimum(d_left, d_right))
+    dmax = jnp.maximum(jnp.maximum(d_top, d_bottom),
+                       jnp.maximum(d_left, d_right))
+    contour = area - interior_count
+
+    feats = jnp.stack([area, mean_prob, pmax, bbox_ar, bbox_area, bbox_fill,
+                       dmin, dmax, contour], axis=-1)
+    return jnp.where(nonempty[..., None], feats, 0.0)
 
 
 @partial(jax.jit, static_argnames=("max_instances",))

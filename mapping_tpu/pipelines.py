@@ -31,7 +31,7 @@ from mapping_tpu.data.tta import tta_specs, tta_wrap_predict
 from mapping_tpu.infer.postprocess import (active_layers_for,
                                            postprocess_probabilities)
 from mapping_tpu.scoring import (NonMaximumSupression, ScoringGBM,
-                                 ScoringRandomForest, features_for_image)
+                                 ScoringRandomForest, features_from_tensor)
 from mapping_tpu.train.trainer import UNetTrainer
 from mapping_tpu.utils.logging import get_logger
 
@@ -122,10 +122,18 @@ class UNetPipeline:
         return {"y_pred": []}
 
     # -------------------------------------------------------- inference
-    def transform(self, data, return_probabilities=False):
-        """y_pred per image; with return_probabilities also the resized
-        (C, th, tw) probability maps (consumed by the scoring pipelines —
-        avoids a second forward pass over the dataset)."""
+    def transform(self, data, return_probabilities=False,
+                  return_features=False):
+        """y_pred per image.
+
+        return_features: also emit the per-image (L, max_instances, 9)
+        device-computed scoring feature tensor (consumed by the scoring
+        pipelines; no probability maps leave the device —
+        ops.instance.instance_feature_tensor replaces the reference's
+        per-instance host loop, src/postprocessing.py:261-303).
+        return_probabilities: legacy path returning resized (C, th, tw)
+        probability maps.
+        """
         if not os.path.exists(self.trainer_cache_path):
             raise RuntimeError(
                 f"no trained unet found at {self.trainer_cache_path}; run "
@@ -146,11 +154,12 @@ class UNetPipeline:
         target_size = tuple(post.target_size)
         y_pred = []
         y_probs = []
+        y_feats = []
         for probs in probs_batches:
             probs = np.asarray(probs)
             if self.crop_predictions:
                 probs = self._center_crop(probs, target_size)
-            labels, scores, _ = postprocess_probabilities(
+            outs = postprocess_probabilities(
                 probs,
                 target_size=target_size,
                 category_layers=self.category_layers,
@@ -158,16 +167,22 @@ class UNetPipeline:
                 dilate_size=int(post.dilate_selem_size),
                 active_layers=active_layers_for(CATEGORY_IDS,
                                                 self.category_layers),
+                compute_features=return_features,
             )
+            labels, scores = outs[0], outs[1]
             for lab, sc in zip(labels, scores):
                 trimmed = [list(sc[l][: int(lab[l].max())])
                            for l in range(lab.shape[0])]
                 y_pred.append((lab, trimmed))
+            if return_features:
+                y_feats.extend(outs[3])
             if return_probabilities:
                 resized = _resize_probs(probs, target_size)
                 for item in resized:
                     y_probs.append(np.moveaxis(item, -1, 0))
         out = {"y_pred": y_pred}
+        if return_features:
+            out["features_tensor"] = y_feats
         if return_probabilities:
             out["probabilities"] = y_probs
         return out
@@ -219,15 +234,14 @@ class ScoringModelPipeline:
         # (reference _get_scoring_model_data, src/pipeline_manager.py:232-244)
         annotations = data["input"].get("annotations")
         meta = data["input"]["meta"]
-        out = self.base.transform(data, return_probabilities=True)
-        probs_by_image = out["probabilities"]
+        out = self.base.transform(data, return_features=True)
         if annotations is None:
             annotations = [{}] * len(meta)
         features = []
-        for (labels, _), probs, anns in zip(
-                out["y_pred"], probs_by_image, annotations):
-            features.append(features_for_image(
-                labels, probs, anns, category_layers=self.category_layers))
+        for (labels, _), feats, anns in zip(
+                out["y_pred"], out["features_tensor"], annotations):
+            features.append(features_from_tensor(
+                feats, labels, anns, category_layers=self.category_layers))
         self.model.fit(features)
         os.makedirs(os.path.dirname(self.cache_path), exist_ok=True)
         self.model.save(self.cache_path)
@@ -263,12 +277,11 @@ class ScoringInferencePipeline:
             raise RuntimeError(
                 f"no trained scoring model at {self.cache_path}")
         self.model.load(self.cache_path)
-        out = self.base.transform(data, return_probabilities=True)
-        probs_by_image = out["probabilities"]
-        features = [features_for_image(labels, probs,
-                                       category_layers=self.category_layers)
-                    for (labels, _), probs in zip(out["y_pred"],
-                                                  probs_by_image)]
+        out = self.base.transform(data, return_features=True)
+        features = [features_from_tensor(feats, labels,
+                                         category_layers=self.category_layers)
+                    for (labels, _), feats in zip(out["y_pred"],
+                                                  out["features_tensor"])]
         scores = self.model.transform(features)["scores"]
         images_with_scores = [
             (labels, image_scores)

@@ -108,6 +108,99 @@ def _prepare_device(stack, valid, erode_size, dilate_size,
     return mask_out, dist_sum, second, sizes.astype(jnp.int32)
 
 
+def pack_object_stack(stack):
+    """(B, N, H, W) bool -> (B, ceil(N/8), H, W) uint8 bit-planes (object j
+    lives in plane j//8, bit j%8). 8x smaller host->device transfer."""
+    b, n, h, w = stack.shape
+    groups = -(-n // 8)
+    packed = np.zeros((b, groups, h, w), np.uint8)
+    for j in range(n):
+        packed[:, j // 8] |= (stack[:, j].astype(np.uint8) << (j % 8))
+    return packed
+
+
+@partial(jax.jit, static_argnames=("n_objects", "erode_size", "dilate_size",
+                                   "small_annotations_size", "border_width"))
+def _prepare_device_batch_packed(packed, valid, n_objects, erode_size,
+                                 dilate_size, small_annotations_size,
+                                 border_width):
+    """Bit-packed front end of _prepare_device_batch: unpacks the object
+    planes on device, then runs the same program."""
+    b, groups, h, w = packed.shape
+    planes = [(packed[:, j // 8] >> (j % 8)) & 1 for j in range(n_objects)]
+    stack = jnp.stack(planes, axis=1) > 0
+    return _prepare_device_batch(stack, valid, erode_size, dilate_size,
+                                 small_annotations_size, border_width)
+
+
+@partial(jax.jit, static_argnames=("erode_size", "dilate_size",
+                                   "small_annotations_size", "border_width"))
+def _prepare_device_batch(stack, valid, erode_size, dilate_size,
+                          small_annotations_size, border_width):
+    """Batched _prepare_device: stack (B, N, H, W) bool, valid (B, N) bool.
+
+    One dispatch prepares a whole batch of images — the attached chip costs
+    ~32 ms per dispatch, which dwarfed the ~7 ms/image device time of the
+    per-image path (round-1 prepare_masks ran at ~8 img/s for that reason).
+
+    Returns (mask (B,H,W) uint8, distances (B,H,W) f32, second (B,H,W) f32,
+    sizes (B,H,W) i32).
+    """
+    b, n, h, w = stack.shape
+    interior_empty = ~jnp.any(stack[:, :, 2:-2, 2:-2], axis=(2, 3))
+    valid = valid & ~interior_empty & jnp.any(stack, axis=(2, 3))
+    areas = jnp.sum(stack, axis=(2, 3))
+    big = areas > small_annotations_size**2
+
+    if erode_size > 0:
+        flat = stack.reshape(b * n, h, w)
+        eroded = _erode(flat.astype(jnp.uint8), erode_size).astype(bool)
+        eroded = eroded.reshape(b, n, h, w)
+        if dilate_size > 0:
+            dilated = _dilate(flat.astype(jnp.uint8),
+                              dilate_size).astype(bool).reshape(b, n, h, w)
+            processed = jnp.where(big[:, :, None, None], eroded, dilated)
+        else:
+            processed = jnp.where(big[:, :, None, None], eroded, stack)
+            erased = ~jnp.any(processed, axis=(2, 3))
+            processed = jnp.where((erased & valid)[:, :, None, None], stack,
+                                  processed)
+    else:
+        processed = stack
+
+    processed = processed & valid[:, :, None, None]
+
+    big_val = jnp.float32(1e12)
+
+    def merge(carry, xs):
+        nearest, second = carry
+        obj, ok = xs  # obj (B, H, W), ok (B,)
+        d = jnp.where(ok[:, None, None], edt(obj), big_val)
+        new_nearest = jnp.minimum(nearest, d)
+        new_second = jnp.minimum(second, jnp.maximum(nearest, d))
+        return (new_nearest, new_second), None
+
+    init = (jnp.full((b, h, w), big_val), jnp.full((b, h, w), big_val))
+    (nearest, second), _ = jax.lax.scan(
+        merge, init, (jnp.moveaxis(processed, 1, 0), valid.T))
+    n_valid = jnp.sum(valid.astype(jnp.int32), axis=1)[:, None, None]
+    nearest = jnp.where(n_valid >= 1, nearest, 0.0)
+    second = jnp.where(n_valid >= 2, second, nearest)
+    dist_sum = nearest + second
+
+    mask = jnp.any(processed, axis=1)
+    labels = connected_components(mask)
+    sizes = jax.vmap(lambda l: size_matrix(l, MAX_OBJECTS))(labels)
+
+    mask_out = mask.astype(jnp.uint8)
+    if border_width > 0:
+        borders = (second < border_width) & ~mask
+        border_class = (jnp.max(mask_out, axis=(1, 2), keepdims=True)
+                        + jnp.uint8(1))
+        mask_out = jnp.where(borders, border_class, mask_out)
+    return mask_out, dist_sum, second, sizes.astype(jnp.int32)
+
+
 def prepare_image_targets(
     annotation_masks: Sequence[np.ndarray],
     image_size,
@@ -194,10 +287,16 @@ def overlay_masks(
     `{target_dir}/{dataset}/{masks,distances,sizes}/{image_stem}.*` so the
     metadata path-rewrite contract (src/loaders.py:140-150) carries over.
     """
+    from collections import defaultdict
+    from multiprocessing.pool import ThreadPool
+
     import joblib
     from imageio import imwrite
 
     from mapping_tpu.data.coco import COCOIndex
+
+    if erode < 0 or dilate < 0:
+        raise ValueError("erode and dilate cannot be negative")
 
     suffix = "-small" if is_small else ""
     annotation_file = os.path.join(data_dir, dataset, f"annotation{suffix}.json")
@@ -206,32 +305,110 @@ def overlay_masks(
     for sub in ("masks", "distances", "sizes"):
         os.makedirs(os.path.join(target_dir, dataset, sub), exist_ok=True)
 
-    for image_id in coco.get_img_ids():
+    real_cats = [(nr, cid) for nr, cid in enumerate(category_ids)
+                 if cid is not None]
+
+    def write_artifacts(stem, mask, dist, sizes):
+        imwrite(os.path.join(target_dir, dataset, "masks", stem + ".png"),
+                mask.astype(np.uint8))
+        joblib.dump(dist.astype(np.float16),
+                    os.path.join(target_dir, dataset, "distances", stem))
+        joblib.dump(sizes.astype(np.int32),
+                    os.path.join(target_dir, dataset, "sizes", stem))
+
+    if len(real_cats) != 1:
+        # multi-category fallback: per-image path (not the CrowdAI layout)
+        for image_id in coco.get_img_ids():
+            image = coco.load_imgs([image_id])[0]
+            image_size = (image["height"], image["width"])
+            mask_total = np.zeros(image_size, np.uint8)
+            dist_total = np.zeros(image_size, np.float16)
+            sizes_total = np.ones(image_size, np.int32)
+            for category_nr, category_id in real_cats:
+                ann_ids = coco.get_ann_ids(img_ids=[image_id],
+                                           cat_ids=[category_id])
+                masks = [coco.ann_to_mask(a) for a in coco.load_anns(ann_ids)]
+                targets = prepare_image_targets(
+                    masks, image_size, erode=erode, dilate=dilate,
+                    small_annotations_size=small_annotations_size,
+                    border_width=border_width, category_nr=category_nr)
+                sel = targets["mask"] > 0
+                mask_total = np.where(sel, np.uint8(category_nr), mask_total)
+                dist_total = targets["distances"]
+                sizes_total = targets["sizes"]
+            stem = os.path.splitext(image["file_name"])[0]
+            write_artifacts(stem, mask_total, dist_total, sizes_total)
+        return
+
+    # single-category fast path: ThreadPool-decoded stacks, images grouped by
+    # (size, object-pad bucket), one jitted dispatch per batch
+    category_nr, category_id = real_cats[0]
+    pool = ThreadPool(max(int(num_threads), 2))
+    #: batch sizes per pad bucket, bounding the (B, pad, H, W) stack memory
+    batch_for_pad = {8: 16, 16: 16, 32: 8, 64: 4, MAX_OBJECTS: 2}
+
+    def decode(image_id):
         image = coco.load_imgs([image_id])[0]
-        image_size = (image["height"], image["width"])
-        mask_total = np.zeros(image_size, np.uint8)
-        dist_total = np.zeros(image_size, np.float16)
-        sizes_total = np.ones(image_size, np.int32)
-        for category_nr, category_id in enumerate(category_ids):
-            if category_id is None:
-                continue
-            if erode < 0 or dilate < 0:
-                raise ValueError("erode and dilate cannot be negative")
-            ann_ids = coco.get_ann_ids(img_ids=[image_id], cat_ids=[category_id])
-            masks = [coco.ann_to_mask(a) for a in coco.load_anns(ann_ids)]
+        size = (image["height"], image["width"])
+        ann_ids = coco.get_ann_ids(img_ids=[image_id], cat_ids=[category_id])
+        masks = [coco.ann_to_mask(a) for a in coco.load_anns(ann_ids)]
+        return image, size, masks
+
+    pending = defaultdict(list)
+    writes = []
+
+    def flush(bucket):
+        items = pending.pop(bucket)
+        (h, w), pad = bucket
+        stacks = np.zeros((len(items), pad, h, w), bool)
+        valid = np.zeros((len(items), pad), bool)
+        for i, (image, _, masks) in enumerate(items):
+            for j, m in enumerate(masks[:pad]):
+                stacks[i, j] = m.astype(bool)
+            valid[i, : min(len(masks), pad)] = True
+        mask_b, dist_b, _, sizes_b = _prepare_device_batch_packed(
+            jnp.asarray(pack_object_stack(stacks)), jnp.asarray(valid), pad,
+            erode, dilate, small_annotations_size, border_width)
+        # D2H pull stays on this thread (pulling from workers contends on
+        # the device tunnel); only the file writes go async
+        mask_b = np.where(np.asarray(mask_b) > 0, np.uint8(category_nr), 0)
+        dist_b = np.asarray(dist_b)
+        sizes_b = np.asarray(sizes_b)
+        for i, (image, _, _) in enumerate(items):
+            stem = os.path.splitext(image["file_name"])[0]
+            writes.append(pool.apply_async(
+                write_artifacts, (stem, mask_b[i], dist_b[i], sizes_b[i])))
+
+    for image, size, masks in pool.imap(decode, coco.get_img_ids(),
+                                        chunksize=4):
+        stem = os.path.splitext(image["file_name"])[0]
+        n = len(masks)
+        if n == 0:
+            writes.append(pool.apply_async(
+                write_artifacts,
+                (stem, np.zeros(size, np.uint8), np.zeros(size, np.float16),
+                 np.ones(size, np.int32))))
+            continue
+        if n > MAX_OBJECTS:
+            # very crowded tile: per-image chunked path (rare)
             targets = prepare_image_targets(
-                masks, image_size, erode=erode, dilate=dilate,
+                masks, size, erode=erode, dilate=dilate,
                 small_annotations_size=small_annotations_size,
                 border_width=border_width, category_nr=category_nr)
-            sel = targets["mask"] > 0
-            mask_total = np.where(sel, np.uint8(category_nr), mask_total)
-            dist_total = targets["distances"]
-            sizes_total = targets["sizes"]
+            writes.append(pool.apply_async(
+                write_artifacts,
+                (stem, np.where(targets["mask"] > 0, np.uint8(category_nr), 0),
+                 targets["distances"], targets["sizes"])))
+            continue
+        pad = next(b for b in (8, 16, 32, 64, MAX_OBJECTS) if b >= n)
+        bucket = (size, pad)
+        pending[bucket].append((image, size, masks))
+        if len(pending[bucket]) >= batch_for_pad[pad]:
+            flush(bucket)
 
-        stem = os.path.splitext(image["file_name"])[0]
-        imwrite(os.path.join(target_dir, dataset, "masks", stem + ".png"),
-                mask_total)
-        joblib.dump(dist_total,
-                    os.path.join(target_dir, dataset, "distances", stem))
-        joblib.dump(sizes_total,
-                    os.path.join(target_dir, dataset, "sizes", stem))
+    for bucket in list(pending):
+        flush(bucket)
+    for wr in writes:
+        wr.get()
+    pool.close()
+    pool.join()

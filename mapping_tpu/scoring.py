@@ -141,6 +141,51 @@ def _gt_iou_matrix(layer, annotations):
     return rle_ops.iou(dt_rles, gt_rles, [0] * len(gt_rles))
 
 
+def features_from_tensor(feature_tensor, labels, annotations=None,
+                         category_layers=None,
+                         category_ids=None) -> List[pd.DataFrame]:
+    """Device feature tensor -> the same per-layer DataFrames as
+    features_for_image, without any per-instance host loop.
+
+    feature_tensor: (L, max_instances, 9) from
+    ops.instance.instance_feature_tensor (FEATURE_COLUMNS order); labels
+    (L, H, W) are only consulted for instance counts and the optional GT IoU
+    targets (RLE work on host, C++ fast path). The per-pixel feature math
+    already happened on device (reference did it per instance on host,
+    src/postprocessing.py:261-303).
+    """
+    from mapping_tpu.ops.instance import FEATURE_COLUMNS
+
+    if category_layers is None:
+        category_layers = CATEGORY_LAYERS
+    if category_ids is None:
+        category_ids = CATEGORY_IDS
+    annotations = annotations or {}
+    thresholds = _layer_thresholds(category_layers)
+    layer_to_cat = np.searchsorted(np.cumsum(category_layers),
+                                   np.arange(labels.shape[0]), side="right")
+    feature_tensor = np.asarray(feature_tensor)
+    image_features = []
+    for layer_nr in range(labels.shape[0]):
+        cat_nr = layer_to_cat[layer_nr]
+        cat_anns = annotations.get(category_ids[cat_nr], [])
+        layer = labels[layer_nr]
+        n = int(layer.max())
+        iou_matrix = _gt_iou_matrix(layer, cat_anns)
+        block = feature_tensor[layer_nr, :n]
+        df = pd.DataFrame(block, columns=list(FEATURE_COLUMNS))
+        df.insert(0, "threshold", round(float(thresholds[layer_nr]), 2))
+        iou = (iou_matrix.max(axis=1)
+               if iou_matrix is not None and iou_matrix.size else
+               [None] * n)
+        df.insert(0, "iou", np.asarray(iou, dtype=object) if n else None)
+        df["area"] = df["area"].astype(int)
+        df["bbox_area"] = df["bbox_area"].astype(int)
+        df["contour_length"] = df["contour_length"].astype(int)
+        image_features.append(df)
+    return image_features
+
+
 class FeatureExtractor:
     """Batch driver (reference FeatureExtractor, src/postprocessing.py:18-25)."""
 

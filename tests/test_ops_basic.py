@@ -168,3 +168,41 @@ def test_instance_areas_and_prob_sums_dense_matches_scatter():
         np.testing.assert_array_equal(np.asarray(areas[b]), a_ref)
         np.testing.assert_allclose(np.asarray(sums[b]), s_ref, rtol=3e-6,
                                    atol=1e-5)
+
+
+def test_instance_feature_tensor_matches_host_oracle():
+    """Device feature tensor vs scoring.features_for_mask (the reference's
+    per-instance host loop, src/postprocessing.py:286-303)."""
+    import jax.numpy as jnp
+    from mapping_tpu.scoring import features_for_mask
+
+    rng = np.random.RandomState(5)
+    h = w = 60
+    masks = np.zeros((2, h, w), np.int32)
+    for b in range(2):
+        lab = 1
+        for _ in range(6):
+            y, x = rng.randint(0, h - 12, 2)
+            hh, ww = rng.randint(2, 12, 2)
+            masks[b, y:y+hh, x:x+ww] = lab
+            lab += 1
+    probs = rng.rand(2, h, w).astype(np.float32)
+    feats = np.asarray(inst.instance_feature_tensor(
+        jnp.asarray(masks), jnp.asarray(probs), 16))
+    for b in range(2):
+        for label in range(1, masks[b].max() + 1):
+            sel = masks[b] == label
+            if not sel.any():
+                assert np.all(feats[b, label - 1] == 0)
+                continue
+            ref = features_for_mask(sel, probs[b], threshold=0.5)
+            got = feats[b, label - 1]
+            np.testing.assert_allclose(got[0], ref["area"])
+            np.testing.assert_allclose(got[1], ref["mean_prob"], rtol=1e-5)
+            np.testing.assert_allclose(got[2], ref["max_prob"], rtol=1e-6)
+            np.testing.assert_allclose(got[3], ref["bbox_ar"], rtol=1e-6)
+            np.testing.assert_allclose(got[4], ref["bbox_area"])
+            np.testing.assert_allclose(got[5], ref["bbox_fill"], rtol=1e-6)
+            np.testing.assert_allclose(got[6], ref["min_dist_to_border"])
+            np.testing.assert_allclose(got[7], ref["max_dist_to_border"])
+            np.testing.assert_allclose(got[8], ref["contour_length"])

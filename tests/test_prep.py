@@ -92,3 +92,35 @@ def test_empty_annotations():
     assert out["mask"].sum() == 0
     assert out["distances"].sum() == 0
     assert (out["sizes"] == 1).all()
+
+
+def test_prepare_device_batch_matches_per_image():
+    """Batched target preparation (one dispatch per image batch) must equal
+    the per-image program, including erosion/restore rules."""
+    import jax.numpy as jnp
+
+    from mapping_tpu.prep.targets import _prepare_device, _prepare_device_batch
+
+    rng = np.random.RandomState(4)
+    b, n, h, w = 3, 8, 48, 48
+    stack = np.zeros((b, n, h, w), bool)
+    valid = np.zeros((b, n), bool)
+    for i in range(b):
+        n_real = rng.randint(1, n + 1)
+        for j in range(n_real):
+            y, x = rng.randint(0, h - 10, 2)
+            hh, ww = rng.randint(2, 10, 2)
+            stack[i, j, y:y+hh, x:x+ww] = True
+        valid[i, :n_real] = True
+
+    for erode, dilate in ((0, 0), (2, 0), (2, 1)):
+        mb, db, sb, zb = _prepare_device_batch(
+            jnp.asarray(stack), jnp.asarray(valid), erode, dilate, 3, 2)
+        for i in range(b):
+            m1, d1, s1, z1 = _prepare_device(
+                jnp.asarray(stack[i]), jnp.asarray(valid[i]), erode, dilate,
+                3, 2)
+            np.testing.assert_array_equal(np.asarray(mb[i]), np.asarray(m1))
+            np.testing.assert_allclose(np.asarray(db[i]), np.asarray(d1),
+                                       rtol=1e-6)
+            np.testing.assert_array_equal(np.asarray(zb[i]), np.asarray(z1))
