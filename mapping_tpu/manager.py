@@ -226,8 +226,25 @@ def generate_prediction(meta_data, pipeline, config, chunk_size=None):
     category_layers = tuple(config.params.get("category_layers",
                                               CATEGORY_LAYERS))
     if chunk_size is None and config.params.get("stream_mode", 0):
-        # stream mode: bound memory to one inference batch at a time
-        # (the reference's generator-transformer path, src/utils.py:392-413)
+        # stream mode: per-image generator through the WHOLE chain (the
+        # reference's generator-transformer path, src/utils.py:392-413);
+        # only one postprocessed batch is live at a time
+        if hasattr(pipeline, "transform_stream"):
+            data = {
+                "input": {"meta": meta_data,
+                          "target_sizes": [(300, 300)] * len(meta_data)},
+                "specs": {"train_mode": False},
+                "callback_input": {"meta_valid": None},
+            }
+            prediction = []
+            stream = pipeline.transform_stream(data)["y_pred"]
+            for image_id, (labels, scores) in zip(
+                    meta_data["ImageId"].values, stream):
+                prediction.extend(labeled_to_annotations(
+                    image_id, np.asarray(labels), scores, CATEGORY_IDS,
+                    category_layers))
+            return prediction
+        # pipelines without a stream path fall back to batch-sized chunks
         chunk_size = int(config.params.batch_size_inference)
     if chunk_size is None:
         chunks = [meta_data]

@@ -187,6 +187,53 @@ class UNetPipeline:
             out["probabilities"] = y_probs
         return out
 
+    def transform_stream(self, data):
+        """True streaming inference: {'y_pred': <per-image generator>}.
+
+        The reference's stream mode yields per-image results through the
+        whole postprocessing chain (make_apply_transformer_stream
+        src/utils.py:392-413, PyTorchUNetStream src/models.py:123-146) so
+        huge datasets never materialize all predictions. Here the loader,
+        forward and fused postprocess advance one batch at a time and images
+        are yielded singly — peak memory is one postprocessed batch.
+        """
+        if not os.path.exists(self.trainer_cache_path):
+            raise RuntimeError(
+                f"no trained unet found at {self.trainer_cache_path}; run "
+                "train first (trainable-transformer contract, reference "
+                "src/steps/base.py:166-174)")
+        if not getattr(self, "_weights_loaded", False):
+            self.trainer.load(self.trainer_cache_path)
+            self._weights_loaded = True
+
+        meta = data["input"]["meta"]
+        x, _ = _xy(meta)
+        gens = self.loader.transform(x, None, train_mode=False)
+        probs_batches = self._predict_batches(gens["datagen"])
+        post = self.config.postprocessor
+        target_size = tuple(post.target_size)
+
+        def per_image():
+            for probs in probs_batches:
+                probs = np.asarray(probs)
+                if self.crop_predictions:
+                    probs = self._center_crop(probs, target_size)
+                labels, scores, _ = postprocess_probabilities(
+                    probs,
+                    target_size=target_size,
+                    category_layers=self.category_layers,
+                    erode_size=int(post.erode_selem_size),
+                    dilate_size=int(post.dilate_selem_size),
+                    active_layers=active_layers_for(CATEGORY_IDS,
+                                                    self.category_layers),
+                )
+                for lab, sc in zip(labels, scores):
+                    trimmed = [list(sc[l][: int(lab[l].max())])
+                               for l in range(lab.shape[0])]
+                    yield (lab, trimmed)
+
+        return {"y_pred": per_image()}
+
     def _predict_batches(self, datagen):
         if not self.tta:
             yield from self.trainer.predict_probs_datagen(datagen)
