@@ -107,9 +107,9 @@ def _host_postprocess(probs):
 
 
 def main():
-    batch = 32
+    batch = 64  # MFU 65.7% at 64 vs 49.5% at 32 on this chip
     size = 512
-    n_queue = 8  # batches drained per dispatch
+    n_queue = 6  # batches drained per dispatch
     variables, fused_queue, forward_only = _build(batch, size, n_queue)
     rng = np.random.RandomState(0)
     # structured input so CCL sees realistic building-like components

@@ -27,7 +27,7 @@ import numpy as np
 from mapping_tpu.constants import (CATEGORY_IDS, CATEGORY_LAYERS, SEED,
                                    X_COLUMNS, Y_COLUMNS)
 from mapping_tpu.data.loader import SegmentationLoader
-from mapping_tpu.data.tta import tta_specs, tta_wrap_predict
+from mapping_tpu.data.tta import tta_specs
 from mapping_tpu.infer.postprocess import (active_layers_for,
                                            postprocess_probabilities)
 from mapping_tpu.scoring import (NonMaximumSupression, ScoringGBM,
@@ -240,8 +240,8 @@ class UNetPipeline:
             return
         specs = tta_specs(**dict(self.config.tta_generator))
         method = self.config.tta_aggregator.method
-        predict = self.trainer.predict_probs_fn()  # BN-folded when available
-        tta_run = tta_wrap_predict(predict, specs, method)
+        # one jitted program for the whole TTA chain, BN-folded when available
+        tta_run = self.trainer.tta_predict_fn(specs, method)
         flow, steps = datagen
         for batch_id, batch in enumerate(flow):
             images = batch["image"] if isinstance(batch, dict) else batch

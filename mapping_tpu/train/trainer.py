@@ -70,6 +70,7 @@ class UNetTrainer:
         self._fold_step = None
         self._fold_params = None
         self._fold_key = None
+        self._tta_cache = {}
 
     # ------------------------------------------------------------- state
     def _ensure_state(self, steps_per_epoch: int = 1):
@@ -243,6 +244,58 @@ class UNetTrainer:
                     self._fold_params, self.mesh)
             self._fold_key = key
         return lambda images: self._fold_step(self._fold_params, images)
+
+    def tta_predict_fn(self, specs, method: str):
+        """One jitted (images) -> aggregated TTA probabilities program.
+
+        The whole expand -> forward -> inverse -> aggregate chain compiles
+        into a single dispatch (running tta_wrap_predict eagerly costs one
+        device round-trip per flip/rot op — dozens per batch). BN-folded
+        when the family supports it; params ride as arguments, never baked
+        into the program as constants.
+        """
+        from mapping_tpu.data.tta import tta_wrap_predict
+        from mapping_tpu.models.fold_bn import can_fold
+
+        self._ensure_state()
+        import jax.numpy as jnp
+
+        key = (tuple(specs), method)
+        has_bs = bool(jax.tree_util.tree_leaves(self.state.batch_stats))
+        folded = can_fold(self.model) and has_bs
+        if folded:
+            self.predict_probs_fn()  # refresh self._fold_params
+            if key not in self._tta_cache:
+                folded_model = self.model.clone(fold_bn=True)
+
+                @jax.jit
+                def run(p, images):
+                    def predict(flat):
+                        logits = folded_model.apply({"params": p}, flat,
+                                                    train=False)
+                        return jax.nn.softmax(logits.astype(jnp.float32), -1)
+
+                    return tta_wrap_predict(predict, list(specs),
+                                            method)(images)
+
+                self._tta_cache[key] = run
+            run = self._tta_cache[key]
+            return lambda images: run(self._fold_params, images)
+        if key not in self._tta_cache:
+            @jax.jit
+            def run(params, batch_stats, images):
+                def predict(flat):
+                    logits = self.model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        flat, train=False)
+                    return jax.nn.softmax(logits.astype(jnp.float32), -1)
+
+                return tta_wrap_predict(predict, list(specs), method)(images)
+
+            self._tta_cache[key] = run
+        run = self._tta_cache[key]
+        return lambda images: run(self.state.params, self.state.batch_stats,
+                                  images)
 
     def predict_probs_datagen(self, datagen) -> Iterable[np.ndarray]:
         """Yield per-batch softmax probabilities (N, H, W, C).
