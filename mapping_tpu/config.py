@@ -96,6 +96,7 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "resume_training": 1,
     "resume_every": 5,  # epochs between 'last' checkpoints (large D2H)
     "best_write_every": 5,  # max epochs between best-checkpoint disk flushes
+    "train_steps_per_call": 1,  # optimizer steps per device dispatch (scan)
     "profile_trace": 0,
     "monitor_images": 0,
     # regularization
@@ -207,7 +208,8 @@ def build_config(config_path: Optional[str] = None,
                 "smooth": params.dice_smooth,
                 "dice_activation": params.dice_activation,
             },
-            "training": {"epochs": params.epochs_nr},
+            "training": {"epochs": params.epochs_nr,
+                         "steps_per_call": int(params.train_steps_per_call)},
             "callbacks": {
                 "checkpoint_dir": os.path.join(params.experiment_dir,
                                                "checkpoints", "unet"),

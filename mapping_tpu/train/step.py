@@ -16,20 +16,11 @@ import jax.numpy as jnp
 from mapping_tpu.parallel.mesh import shard_batch, shard_pytree_replicated
 
 
-def make_train_step(loss_fn: Callable, has_batch_stats: bool = True,
-                    remat: bool = False):
-    """Returns jitted (state, batch) -> (state, metrics).
+def _train_step_body(loss_fn: Callable, has_batch_stats: bool,
+                     remat: bool):
+    """Un-jitted (state, batch) -> (state, metrics) body shared by the
+    single-step and scanned multi-step programs."""
 
-    batch: {'image': (N, H, W, 3) f32, 'target': (N, H, W, 1+K)}.
-    loss_fn(logits, target) -> scalar.
-
-    The old state's buffers are donated — params/opt-state update in place in
-    HBM instead of being copied (the torch loop mutated in place too;
-    donation is the jit-world equivalent). remat=True wraps the forward in
-    jax.checkpoint, trading recompute for activation memory at large batch.
-    """
-
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch):
         dropout_rng = state.next_dropout_rng()
 
@@ -71,6 +62,49 @@ def make_train_step(loss_fn: Callable, has_batch_stats: bool = True,
         return state, {"loss": loss}
 
     return train_step
+
+
+def make_train_step(loss_fn: Callable, has_batch_stats: bool = True,
+                    remat: bool = False):
+    """Returns jitted (state, batch) -> (state, metrics).
+
+    batch: {'image': (N, H, W, 3) f32, 'target': (N, H, W, 1+K)}.
+    loss_fn(logits, target) -> scalar.
+
+    The old state's buffers are donated — params/opt-state update in place in
+    HBM instead of being copied (the torch loop mutated in place too;
+    donation is the jit-world equivalent). remat=True wraps the forward in
+    jax.checkpoint, trading recompute for activation memory at large batch.
+    """
+    body = _train_step_body(loss_fn, has_batch_stats, remat)
+    return partial(jax.jit, donate_argnums=(0,))(body)
+
+
+def make_train_step_multi(loss_fn: Callable, has_batch_stats: bool = True,
+                          remat: bool = False):
+    """Returns jitted (state, batches) -> (state, metrics) running K
+    optimizer steps per dispatch via lax.scan.
+
+    batches: pytree with a leading (K, ...) axis stacking K host batches.
+    metrics['loss'] is the (K,) per-step loss vector. The trajectory matches
+    K single-step dispatches up to XLA fusion/reassociation noise (dropout
+    keys derive from state.step, so randomness is identical). Motivation: a host-driven per-batch loop pays the device
+    dispatch latency every step — ~32 ms through the attached chip's tunnel,
+    ~30% of a ResNet101/256²/batch-20 step; a production host loop pays
+    less but never nothing.
+    """
+    body = _train_step_body(loss_fn, has_batch_stats, remat)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_steps(state, batches):
+        def scan_body(st, batch):
+            st2, metrics = body(st, batch)
+            return st2, metrics["loss"]
+
+        state, losses = jax.lax.scan(scan_body, state, batches)
+        return state, {"loss": losses}
+
+    return train_steps
 
 
 def make_eval_step(loss_fn: Callable):

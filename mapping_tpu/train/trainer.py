@@ -20,7 +20,8 @@ from mapping_tpu.train.callbacks import CallbackList, default_unet_callbacks
 from mapping_tpu.train.checkpoint import load_state, save_state
 from mapping_tpu.train.losses import make_loss_fn
 from mapping_tpu.train.state import create_train_state, make_optimizer
-from mapping_tpu.train.step import make_eval_step, make_predict_step, make_train_step
+from mapping_tpu.train.step import (make_eval_step, make_predict_step,
+                                    make_train_step, make_train_step_multi)
 from mapping_tpu.utils.logging import get_logger
 
 logger = get_logger()
@@ -98,6 +99,15 @@ class UNetTrainer:
         has_bs = bool(jax.tree_util.tree_leaves(self.state.batch_stats))
         self._train_step = make_train_step(self._loss_fn, has_batch_stats=has_bs,
                                            remat=self.remat)
+        # multi-step dispatch (K optimizer steps per device call via scan):
+        # amortizes per-dispatch latency; single-chip only (the stacked
+        # (K, B, ...) layout does not shard over 'data')
+        spc = int(self.training_config.get("steps_per_call", 1))
+        self._steps_per_call = spc if self.mesh is None else 1
+        self._train_step_multi = (
+            make_train_step_multi(self._loss_fn, has_batch_stats=has_bs,
+                                  remat=self.remat)
+            if self._steps_per_call > 1 else None)
         self._eval_step = make_eval_step(self._loss_fn)
         self._predict_step = make_predict_step()
 
@@ -161,16 +171,54 @@ class UNetTrainer:
                              meta_valid=meta_valid)
         callbacks.on_train_begin()
         epochs = self.training_config.get("epochs", 1)
+        spc = getattr(self, "_steps_per_call", 1)
         for epoch_id in range(epochs):
             callbacks.on_epoch_begin()
+            pending = []
+
+            def run_pending():
+                if not pending:
+                    return
+                if len(pending) == 1 or self._train_step_multi is None:
+                    for b in pending:
+                        callbacks.on_batch_begin()
+                        self.state, metrics = self._train_step(
+                            self.state, self._place_batch(b))
+                        callbacks.on_batch_end(metrics={
+                            k: float(v)
+                            for k, v in jax.device_get(metrics).items()})
+                else:
+                    stacked = jax.tree_util.tree_map(
+                        lambda *xs: np.stack(xs), *pending)
+                    self.state, metrics = self._train_step_multi(
+                        self.state, stacked)
+                    for loss in np.asarray(jax.device_get(metrics["loss"])):
+                        callbacks.on_batch_begin()
+                        callbacks.on_batch_end(metrics={"loss": float(loss)})
+                pending.clear()
+
+            def batch_shapes(b):
+                return [np.shape(x) for x in jax.tree_util.tree_leaves(b)]
+
             for batch_id, batch in enumerate(flow):
-                callbacks.on_batch_begin()
-                batch = self._place_batch(batch)
-                self.state, metrics = self._train_step(self.state, batch)
-                callbacks.on_batch_end(metrics={
-                    k: float(v) for k, v in jax.device_get(metrics).items()})
+                if spc > 1:
+                    # a ragged tail batch can't join the stacked scan —
+                    # flush the equal-shaped group first
+                    if pending and batch_shapes(batch) != batch_shapes(pending[0]):
+                        run_pending()
+                    pending.append(batch)
+                    if len(pending) >= spc:
+                        run_pending()
+                else:
+                    callbacks.on_batch_begin()
+                    batch = self._place_batch(batch)
+                    self.state, metrics = self._train_step(self.state, batch)
+                    callbacks.on_batch_end(metrics={
+                        k: float(v)
+                        for k, v in jax.device_get(metrics).items()})
                 if batch_id + 1 >= steps:
                     break
+            run_pending()
             callbacks.on_epoch_end()
             if callbacks.training_break():
                 logger.info("early stopping at epoch %d", epoch_id)

@@ -89,3 +89,37 @@ def test_lr_schedule_decays():
     u2, _ = tx.update(g, opt_state, params)
     # second step uses lr*gamma; adam normalizes so magnitude ~ lr
     assert np.abs(np.asarray(u2["kernel"])).max() < 1.0
+
+
+def test_multi_step_matches_sequential():
+    """make_train_step_multi (K steps per dispatch via scan) must follow the
+    same trajectory as K single-step dispatches (identical up to XLA
+    fusion/reassociation noise ~1e-7)."""
+    from mapping_tpu.train.step import make_train_step_multi
+
+    loss_fn = make_loss_fn("weighted", {"imsize": (32, 32)})
+    state_a = _make_state()
+    state_b = _make_state()
+    step = make_train_step(loss_fn)
+    multi = make_train_step_multi(loss_fn)
+
+    batches = [_toy_batch(seed=s) for s in range(4)]
+    losses_seq = []
+    for b in batches:
+        state_a, metrics = step(state_a, b)
+        losses_seq.append(float(metrics["loss"]))
+
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+    state_b, metrics = multi(state_b, stacked)
+    losses_multi = [float(v) for v in np.asarray(metrics["loss"])]
+
+    np.testing.assert_allclose(losses_multi, losses_seq, rtol=1e-3,
+                               atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state_b.params["final_conv"]["kernel"]
+                   if "final_conv" in state_b.params else
+                   jax.tree_util.tree_leaves(state_b.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state_a.params)[0]),
+        rtol=1e-3, atol=1e-6)
+    assert int(state_b.step) == int(state_a.step) == 4
