@@ -13,9 +13,10 @@ bench:
 
 native:
 	g++ -O3 -shared -fPIC -std=c++17 cpp/rle.cpp -o cpp/librle.so
+	g++ -O3 -shared -fPIC -std=c++17 cpp/gbm.cpp -o cpp/libgbm.so
 
 clean-native:
-	rm -f cpp/librle.so
+	rm -f cpp/librle.so cpp/libgbm.so
 
 e2e:
 	python -m pytest tests/test_e2e.py tests/test_scoring_e2e.py -q

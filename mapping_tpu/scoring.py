@@ -270,7 +270,13 @@ class _ScoringModelBase:
 
 class ScoringGBM(_ScoringModelBase):
     """Gradient-boosted-trees IoU regressor (the 'lgbm' slot; lightgbm is
-    not in this image, sklearn's histogram GBM is the same model family)."""
+    not in this image). Primary engine: the native C++ histogram GBM
+    (cpp/gbm.cpp) reproducing lgb.train's semantics — leaf-wise growth to
+    num_leaves, min_data(_in_leaf), explicit-valid-set early stopping,
+    predict at best_iteration (reference src/steps/sklearn/models.py:75-99,
+    src/pipeline_config.py:136-148). Fallback when the C++ toolchain is
+    unavailable: sklearn's histogram GBM, staged to honor the same explicit
+    valid split."""
 
     def __init__(self, model_params=None, training_params=None,
                  train_size=0.7, target="iou"):
@@ -281,6 +287,26 @@ class ScoringGBM(_ScoringModelBase):
         self.target = target
 
     def _fit_estimator(self, X_train, y_train, X_valid, y_valid):
+        from mapping_tpu.utils import native_gbm
+
+        if native_gbm.available():
+            est = native_gbm.NativeGBMRegressor(
+                learning_rate=self.model_params.get("learning_rate", 0.01),
+                num_leaves=int(self.model_params.get("num_leaves", 500)),
+                min_data=int(self.model_params.get("min_data", 100)),
+                max_depth=int(self.model_params.get("max_depth", 20)),
+                sub_feature=float(self.model_params.get("sub_feature", 1.0)),
+                number_boosting_rounds=int(self.training_params.get(
+                    "number_boosting_rounds", 500)),
+                early_stopping_rounds=int(self.training_params.get(
+                    "early_stopping_rounds", 10)))
+            est.fit(X_train, y_train, X_valid, y_valid)
+            self.best_iteration_ = est.best_iteration_
+            self.estimator = est
+            return
+        self._fit_estimator_sklearn(X_train, y_train, X_valid, y_valid)
+
+    def _fit_estimator_sklearn(self, X_train, y_train, X_valid, y_valid):
         """Early stopping on the EXPLICIT valid split, like lgb.train with
         valid_sets + early_stopping_rounds (reference
         src/steps/sklearn/models.py:75-95). sklearn's HistGBM only knows an

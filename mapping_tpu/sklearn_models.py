@@ -69,9 +69,11 @@ class SklearnClassifier(BaseTransformer):
 
 class GBMRegressor(BaseTransformer):
     """Gradient-boosted-trees regressor with early stopping — the generic
-    `LightGBM` transformer slot (reference src/steps/sklearn/models.py:69-99;
-    lightgbm is unavailable, sklearn HistGradientBoostingRegressor is the
-    same model family)."""
+    `LightGBM` transformer slot (reference src/steps/sklearn/models.py:69-99).
+    lightgbm is unavailable in this image; the primary engine is the native
+    C++ histogram GBM (cpp/gbm.cpp) with lgb.train's semantics (leaf-wise
+    growth, min_data, explicit-valid early stopping, best_iteration predict);
+    sklearn HistGradientBoostingRegressor is the no-toolchain fallback."""
 
     def __init__(self, model_params: Optional[Dict[str, Any]] = None,
                  training_params: Optional[Dict[str, Any]] = None):
@@ -80,6 +82,24 @@ class GBMRegressor(BaseTransformer):
         self.estimator = None
 
     def fit(self, X, y, X_valid=None, y_valid=None, **kwargs):
+        from mapping_tpu.utils import native_gbm
+
+        X = np.asarray(X)
+        y = np.asarray(y).ravel()
+        if native_gbm.available():
+            self.estimator = native_gbm.NativeGBMRegressor(
+                learning_rate=self.model_params.get("learning_rate", 0.01),
+                num_leaves=int(self.model_params.get("num_leaves", 255)),
+                min_data=int(self.model_params.get("min_data", 20)),
+                max_depth=int(self.model_params.get("max_depth", 0) or 0),
+                sub_feature=float(self.model_params.get("sub_feature", 1.0)),
+                number_boosting_rounds=int(self.training_params.get(
+                    "number_boosting_rounds", 500)),
+                early_stopping_rounds=int(self.training_params.get(
+                    "early_stopping_rounds", 10)))
+            yv = np.asarray(y_valid).ravel() if y_valid is not None else None
+            self.estimator.fit(X, y, X_valid, yv)
+            return self
         from sklearn.ensemble import HistGradientBoostingRegressor
 
         self.estimator = HistGradientBoostingRegressor(
@@ -94,7 +114,7 @@ class GBMRegressor(BaseTransformer):
                 "early_stopping_rounds", 10)),
             random_state=1234,
         )
-        self.estimator.fit(np.asarray(X), np.asarray(y).ravel())
+        self.estimator.fit(X, y)
         return self
 
     def transform(self, X, **kwargs):

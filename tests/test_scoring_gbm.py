@@ -34,11 +34,16 @@ def test_valid_split_drives_early_stopping():
 
 
 def test_min_data_maps_to_min_samples_leaf():
+    from mapping_tpu.utils.native_gbm import NativeGBMRegressor
+
     m = _make_model(rounds=20)
     X = np.random.RandomState(1).rand(100, 4)
     y = X[:, 0]
     m._fit_estimator(X[:80], y[:80], X[80:], y[80:])
-    assert m.estimator.min_samples_leaf == 5
+    if isinstance(m.estimator, NativeGBMRegressor):
+        assert m.estimator.params["min_data"] == 5
+    else:
+        assert m.estimator.min_samples_leaf == 5
 
 
 def test_features_from_tensor_matches_host_loop():
