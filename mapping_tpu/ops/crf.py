@@ -6,23 +6,35 @@ pairwise term (smoothness) and a bilateral term (appearance), Potts
 compatibility, N mean-field iterations. The reference notes it was too slow
 to use (README); it stays off the default path here too.
 
-TPU-native formulation: the fully-connected permutohedral filtering is
-replaced by (a) an exact separable Gaussian for the smoothness kernel and
-(b) an exact *windowed* bilateral for the appearance kernel (all pairs within
-a (2r+1)^2 window, weights exp(-|dp|^2/2sxy^2 - |dI|^2/2srgb^2)). With the
-reference's defaults (sxy=1, srgb=50) the true kernels have negligible mass
-outside a few pixels, so the windowed form is numerically equivalent while
-staying a dense stencil XLA can fuse (no data-dependent lattice).
+TPU-native formulation — two appearance-kernel evaluators, both
+full-fidelity in their regime, selected by bandwidth:
+
+- **windowed** (small sxy): all pairs within a (2r+1)^2 window with
+  r = ceil(3*sxy), weights exp(-|dp|^2/2sxy^2 - |dI|^2/2srgb^2). At the
+  reference defaults (sxy=1) the true kernel has negligible mass outside
+  r=3, so this is numerically EXACT full connectivity, as a dense stencil
+  XLA fuses.
+- **bilateral grid** (large sxy): splat/blur/slice over a 5-D
+  (y/sxy, x/sxy, r/srgb, g/srgb, b/srgb) grid (Paris & Durand; Chen's
+  real-time bilateral grid) — true fully-connected Gaussian filtering in
+  O(N + |grid|), the same approximation family as pydensecrf's
+  permutohedral lattice but with static shapes and dense gathers/scatters
+  the TPU likes. Used automatically when the window would need a large
+  stencil (sxy >= 4).
+
+The smoothness kernel is an exact separable Gaussian at any bandwidth.
 
 Mean-field update with Potts compatibility mu(l,l') = [l != l']:
     Q <- softmax(log U + sum_m compat_m * (k_m (*) Q))
 (the constant per-pixel total message is absorbed by the softmax).
 """
 
+import itertools
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _gaussian_kernel1d(sigma, radius):
@@ -80,8 +92,102 @@ def _bilateral_message(q, image, sxy, srgb, radius):
     return msg / jnp.maximum(norm, 1e-8)
 
 
+# ---------------------------------------------------------------------------
+# bilateral grid (full connectivity at large bandwidths)
+# ---------------------------------------------------------------------------
+
+def _shift_axis(g, axis, offset):
+    """Shift along `axis` by `offset`, zero-filled."""
+    n = g.shape[axis]
+    k = abs(offset)
+    if k >= n:
+        return jnp.zeros_like(g)
+    zeros = jnp.zeros_like(jax.lax.slice_in_dim(g, 0, k, axis=axis))
+    if offset > 0:
+        body = jax.lax.slice_in_dim(g, 0, n - k, axis=axis)
+        return jnp.concatenate([zeros, body], axis=axis)
+    body = jax.lax.slice_in_dim(g, k, n, axis=axis)
+    return jnp.concatenate([body, zeros], axis=axis)
+
+
+def _grid_blur_axis(g, axis):
+    """[1, 4, 6, 4, 1] binomial blur (variance = 1 cell^2) along one grid
+    axis, zero boundary — the 5-axis composition approximates the Gaussian
+    exp(-d^2 / 2sigma^2) with sigma = 1 grid cell."""
+    return (6.0 * g
+            + 4.0 * (_shift_axis(g, axis, 1) + _shift_axis(g, axis, -1))
+            + (_shift_axis(g, axis, 2) + _shift_axis(g, axis, -2)))
+
+
+def _bilateral_grid_message(q, image, sxy, srgb):
+    """Fully-connected bilateral filtering of Q via a 5-D bilateral grid.
+
+    q: (H, W, C) probabilities; image: (H, W, 3) in 0..255.
+    Returns the normalized message with the self term removed (matching
+    `_bilateral_message`'s center exclusion).
+    """
+    h, w, c = q.shape
+    # grid extents (static: sxy/srgb/h/w are Python numbers under jit)
+    gy = int(np.ceil((h - 1) / sxy)) + 3
+    gx = int(np.ceil((w - 1) / sxy)) + 3
+    gc = int(np.ceil(255.0 / srgb)) + 3
+
+    yy = (jnp.arange(h, dtype=jnp.float32) / sxy)[:, None].repeat(w, 1)
+    xx = (jnp.arange(w, dtype=jnp.float32) / sxy)[None, :].repeat(h, 0)
+    coords = jnp.concatenate(
+        [yy[..., None] + 1.0, xx[..., None] + 1.0,
+         image.astype(jnp.float32) / srgb + 1.0], axis=-1)  # (H, W, 5)
+    lo = jnp.floor(coords)
+    frac = coords - lo
+    lo = lo.astype(jnp.int32)
+
+    dims = (gy, gx, gc, gc, gc)
+    strides = np.array([int(np.prod(dims[i + 1:])) for i in range(5)],
+                       dtype=np.int32)
+    vals = jnp.concatenate([q, jnp.ones((h, w, 1), q.dtype)], -1)  # +norm
+    flat_vals = vals.reshape(-1, c + 1)
+
+    grid = jnp.zeros((int(np.prod(dims)), c + 1), jnp.float32)
+    corner_ids, corner_wts = [], []
+    for corner in itertools.product((0, 1), repeat=5):
+        off = jnp.asarray(corner, jnp.int32)
+        wgt = jnp.prod(jnp.where(off == 1, frac, 1.0 - frac), axis=-1)
+        idx = jnp.sum((lo + off) * jnp.asarray(strides), axis=-1)
+        corner_ids.append(idx.reshape(-1))
+        corner_wts.append(wgt.reshape(-1))
+    # one big scatter-add (32 corners x N pixels)
+    all_idx = jnp.concatenate(corner_ids)
+    all_wts = jnp.concatenate(corner_wts)[:, None]
+    all_vals = jnp.tile(flat_vals, (32, 1)) * all_wts
+    grid = grid.at[all_idx].add(all_vals)
+
+    g = grid.reshape(dims + (c + 1,))
+    for axis in range(5):
+        g = _grid_blur_axis(g, axis)
+    g = g.reshape(-1, c + 1)
+
+    # slice: multilinear interpolation back at the pixel coordinates
+    out = jnp.zeros((h * w, c + 1), jnp.float32)
+    for corner, idx, wgt in zip(itertools.product((0, 1), repeat=5),
+                                corner_ids, corner_wts):
+        out = out + wgt[:, None] * g[idx]
+    out = out.reshape(h, w, c + 1)
+    # Remove the self term like the windowed path does. A pixel's own mass
+    # after splat -> blur -> slice is, per dim, sum_{a,b in {0,1}}
+    # w(a) K(|a-b|) w(b) with w(1)=f, w(0)=1-f and K the [1,4,6,4,1] taps
+    # (K0=6, K1=4):  6(1-f)^2 + 8f(1-f) + 6f^2 = 6 - 4f + 4f^2;
+    # the 5-dim mass is the product.
+    norm = out[..., -1:]
+    msg = out[..., :-1]
+    self_mass = jnp.prod(6.0 - 4.0 * frac + 4.0 * frac * frac,
+                         axis=-1, keepdims=True)
+    return (msg - self_mass * q) / jnp.maximum(norm - self_mass, 1e-8)
+
+
 @partial(jax.jit, static_argnames=("iterations", "radius_gaussian",
-                                   "radius_bilateral"))
+                                   "radius_bilateral", "sxy_gaussian",
+                                   "sxy_bilateral", "srgb",
+                                   "bilateral_mode"))
 def dense_crf(
     image,
     probs,
@@ -91,8 +197,9 @@ def dense_crf(
     compat_bilateral: float = 10.0,
     sxy_bilateral: float = 1.0,
     srgb: float = 50.0,
-    radius_gaussian: int = 3,
-    radius_bilateral: int = 3,
+    radius_gaussian: int = 0,
+    radius_bilateral: int = 0,
+    bilateral_mode: str = "auto",
 ):
     """Refine class probabilities with mean-field CRF.
 
@@ -100,17 +207,32 @@ def dense_crf(
         image: (H, W, 3) RGB in [0, 1] (denormalized, like the reference's
             denormalize_img step at src/postprocessing.py:215-217).
         probs: (H, W, C) softmax probabilities.
+        radius_*: stencil radii; 0 = auto (ceil(3*sigma), full kernel mass).
+        bilateral_mode: 'window' | 'grid' | 'auto'. 'auto' uses the exact
+            windowed stencil for small sxy and the fully-connected bilateral
+            grid once the stencil would exceed a 9x9 window (sxy >= 4).
 
     Returns:
         (H, W, C) refined probabilities.
     """
+    if radius_gaussian <= 0:
+        radius_gaussian = int(np.ceil(3.0 * sxy_gaussian))
+    if radius_bilateral <= 0:
+        radius_bilateral = int(np.ceil(3.0 * sxy_bilateral))
+    if bilateral_mode == "auto":
+        bilateral_mode = "grid" if sxy_bilateral >= 4.0 else "window"
+
     image255 = image.astype(jnp.float32) * 255.0
     log_unary = jnp.log(jnp.maximum(probs.astype(jnp.float32), 1e-8))
     q = probs.astype(jnp.float32)
     for _ in range(iterations):
         m_gauss = _gaussian_blur(q, sxy_gaussian, radius_gaussian) - q
-        m_bilat = _bilateral_message(q, image255, sxy_bilateral, srgb,
-                                     radius_bilateral)
+        if bilateral_mode == "grid":
+            m_bilat = _bilateral_grid_message(q, image255, sxy_bilateral,
+                                              srgb)
+        else:
+            m_bilat = _bilateral_message(q, image255, sxy_bilateral, srgb,
+                                         radius_bilateral)
         logits = (log_unary + compat_gaussian * m_gauss
                   + compat_bilateral * m_bilat)
         q = jax.nn.softmax(logits, axis=-1)
