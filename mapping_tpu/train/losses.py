@@ -29,10 +29,16 @@ import jax.numpy as jnp
 
 
 def _per_pixel_ce(logits, labels):
-    """Softmax cross-entropy per pixel, f32."""
+    """Softmax cross-entropy per pixel, f32.
+
+    The label pick is a one-hot contraction, NOT take_along_axis: a per-pixel
+    gather lowers to scatter-add in the backward pass, which runs scalar on
+    TPU (~55 ms/step at batch 64 vs ~2 ms for the multiply form)."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(labels.astype(jnp.int32), logits.shape[-1],
+                            dtype=logp.dtype)
+    return -jnp.sum(logp * onehot, axis=-1)
 
 
 def multiclass_segmentation_loss(logits, target):
