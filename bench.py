@@ -107,9 +107,9 @@ def _host_postprocess(probs):
 
 
 def main():
-    batch = 64  # MFU 65.7% at 64 vs 49.5% at 32 on this chip
+    batch = 128  # 647 img/s vs 631 at 64 (round 2 sweep); MFU 65.7%+ at >=64
     size = 512
-    n_queue = 6  # batches drained per dispatch
+    n_queue = 3  # batches drained per dispatch
     variables, fused_queue, forward_only = _build(batch, size, n_queue)
     rng = np.random.RandomState(0)
     # structured input so CCL sees realistic building-like components
@@ -135,13 +135,16 @@ def main():
     fused_ips = n_queue * batch * n_iter / (time.perf_counter() - t0)
 
     # reference-style: same forward, full D2H of the probability maps
-    # (src/models.py:138) + host postprocessing per image
-    images_d = queue_d[0]
+    # (src/models.py:138) + host postprocessing per image. The host path is
+    # a per-image rate; a 16-image subset measures it (the full batch would
+    # dominate bench wall time at ~2.5 img/s).
+    n_host = min(16, batch)
+    images_d = queue_d[0][:n_host]
     float(jnp.sum(forward_only(variables, images_d)))  # compile
     t0 = time.perf_counter()
     probs = np.asarray(forward_only(variables, images_d))
     _host_postprocess(probs)
-    host_ips = batch / (time.perf_counter() - t0)
+    host_ips = n_host / (time.perf_counter() - t0)
 
     print(json.dumps({
         "metric": "unetresnet101_512px_infer_postproc_images_per_sec_per_chip",
