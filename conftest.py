@@ -20,6 +20,18 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the fast suite is compile-bound on this
 # 1-core host; cached XLA executables make repeat runs (~CI) several times
-# faster. Scoped to a stable path so it survives across sessions.
-jax.config.update("jax_compilation_cache_dir", "/tmp/mapping_tpu_test_jaxcache")
+# faster. The path is keyed by the host CPU's feature set: XLA loads AOT
+# results compiled on a different machine with only a warning, and the
+# mismatched codegen produces subtly different numerics (observed as a 3e-3
+# trajectory split between two train programs, one cached one fresh).
+import hashlib
+
+try:
+    with open("/proc/cpuinfo") as f:
+        _flags = next(l for l in f if l.startswith("flags"))
+except (OSError, StopIteration):
+    _flags = "unknown"
+_cpu_key = hashlib.md5(_flags.encode()).hexdigest()[:8]
+jax.config.update("jax_compilation_cache_dir",
+                  f"/tmp/mapping_tpu_test_jaxcache_{_cpu_key}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -12,6 +12,7 @@ from mapping_tpu.parallel.mesh import (
     make_mesh,
     replicated_sharding,
     shard_batch,
+    shard_batch_stacked,
     shard_pytree_replicated,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_batch_stacked",
     "shard_pytree_replicated",
 ]

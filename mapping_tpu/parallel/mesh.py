@@ -49,6 +49,15 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_batch_stacked(batches, mesh: Mesh):
+    """Place a (K, B, ...) stack of K batches with axis 1 (the per-step batch
+    axis) sharded over 'data' — the layout the multi-step train scan
+    (train/step.py make_train_step_multi) consumes on a mesh."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding),
+                                  batches)
+
+
 def shard_pytree_replicated(tree, mesh: Mesh):
     """Replicate a pytree (params / optimizer state) across the mesh."""
     sharding = replicated_sharding(mesh)

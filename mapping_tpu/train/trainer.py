@@ -100,10 +100,11 @@ class UNetTrainer:
         self._train_step = make_train_step(self._loss_fn, has_batch_stats=has_bs,
                                            remat=self.remat)
         # multi-step dispatch (K optimizer steps per device call via scan):
-        # amortizes per-dispatch latency; single-chip only (the stacked
-        # (K, B, ...) layout does not shard over 'data')
+        # amortizes per-dispatch latency. On a mesh, the stacked (K, B, ...)
+        # layout shards axis 1 over 'data' (shard_batch_stacked); XLA still
+        # reduces gradients over ICI inside each scanned step.
         spc = int(self.training_config.get("steps_per_call", 1))
-        self._steps_per_call = spc if self.mesh is None else 1
+        self._steps_per_call = spc
         self._train_step_multi = (
             make_train_step_multi(self._loss_fn, has_batch_stats=has_bs,
                                   remat=self.remat)
@@ -190,6 +191,10 @@ class UNetTrainer:
                 else:
                     stacked = jax.tree_util.tree_map(
                         lambda *xs: np.stack(xs), *pending)
+                    if self.mesh is not None:
+                        from mapping_tpu.parallel import shard_batch_stacked
+
+                        stacked = shard_batch_stacked(stacked, self.mesh)
                     self.state, metrics = self._train_step_multi(
                         self.state, stacked)
                     for loss in np.asarray(jax.device_get(metrics["loss"])):
