@@ -69,24 +69,24 @@ def instance_areas_and_prob_sums(labels, probabilities, max_instances,
     hi, lo = _bf16_split(flat_p)
     vals = jnp.stack([jnp.ones_like(hi), hi, lo], axis=1)  # (M, 3, P)
 
-    def reduce_chunk(lc, vc):
-        onehot = (lc[:, :, None] == iota).astype(jnp.bfloat16)  # (M, pc, N)
-        return jnp.einsum("bvp,bpn->bvn", vc, onehot,
-                          preferred_element_type=jnp.float32)
-
+    # pad to a chunk multiple with background pixels (label 0, zero values):
+    # they only touch the background column, which every caller drops
     pc = min(pixel_chunk, p)
-    n_chunks = p // pc
+    pad = -p % pc
+    if pad:
+        flat_l = jnp.pad(flat_l, ((0, 0), (0, pad)))
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad)))
 
     def step(carry, idx):
         lc = jax.lax.dynamic_slice_in_dim(flat_l, idx, pc, axis=1)
         vc = jax.lax.dynamic_slice_in_dim(vals, idx, pc, axis=2)
-        return carry + reduce_chunk(lc, vc), None
+        onehot = (lc[:, :, None] == iota).astype(jnp.bfloat16)  # (M, pc, N)
+        return carry + jnp.einsum("bvp,bpn->bvn", vc, onehot,
+                                  preferred_element_type=jnp.float32), None
 
+    n_chunks = (p + pad) // pc
     acc, _ = jax.lax.scan(step, jnp.zeros((m, 3, n), jnp.float32),
                           jnp.arange(n_chunks, dtype=jnp.int32) * pc)
-    rem = p - n_chunks * pc
-    if rem:
-        acc = acc + reduce_chunk(flat_l[:, -rem:], vals[:, :, -rem:])
     areas = acc[:, 0].astype(jnp.int32)
     sums = acc[:, 1] + acc[:, 2]
     return areas, sums
@@ -149,8 +149,16 @@ def instance_feature_tensor(labels, probabilities, max_instances,
     int_b = flat_i.astype(jnp.bfloat16)
     vals = jnp.stack([ones, hi, lo, int_b], axis=1)  # (M, 4, P)
 
+    # pad to a chunk multiple with background pixels: label 0 never emits
+    # features (its column is dropped below), so one scan covers everything
     pc = min(pixel_chunk, p)
-    n_chunks = p // pc
+    pad = -p % pc
+    if pad:
+        flat_l = jnp.pad(flat_l, ((0, 0), (0, pad)))
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad)))
+        flat_p = jnp.pad(flat_p, ((0, 0), (0, pad)))
+        rows = jnp.pad(rows, (0, pad))
+        cols = jnp.pad(cols, (0, pad))
 
     def reduce_chunk(carry, start):
         sums, pmax, rmin, rmax, cmin, cmax = carry
@@ -181,42 +189,9 @@ def instance_feature_tensor(labels, probabilities, max_instances,
             jnp.full((m, n), -1, jnp.int32),
             jnp.full((m, n), big, jnp.int32),
             jnp.full((m, n), -1, jnp.int32))
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * pc
+    starts = jnp.arange((p + pad) // pc, dtype=jnp.int32) * pc
     (sums, pmax, rmin, rmax, cmin, cmax), _ = jax.lax.scan(
         reduce_chunk, init, starts)
-    rem = p - n_chunks * pc
-    if rem:
-        pad = pc - rem
-        # pad the tail with background pixels (label 0 never emits features)
-        flat_l = jnp.pad(flat_l, ((0, 0), (0, pad)))
-        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, pad)))
-        flat_p = jnp.pad(flat_p, ((0, 0), (0, pad)))
-        rows = jnp.pad(rows, (0, pad), constant_values=big)
-        cols = jnp.pad(cols, (0, pad), constant_values=big)
-        # rebind closures via explicit call
-        lc = flat_l[:, -pc:]
-        vc = vals[:, :, -pc:]
-        pcv = flat_p[:, -pc:]
-        rc = rows[-pc:]
-        cc = cols[-pc:]
-        eq = lc[:, :, None] == iota
-        sums = sums + jnp.einsum("bvp,bpn->bvn", vc,
-                                 eq.astype(jnp.bfloat16),
-                                 preferred_element_type=jnp.float32)
-        pmax = jnp.maximum(pmax, jnp.max(
-            jnp.where(eq, pcv[:, :, None], 0.0), axis=1))
-        rmin = jnp.minimum(rmin, jnp.min(
-            jnp.where(eq & (rc[None, :, None] < big),
-                      rc[None, :, None], big), axis=1))
-        rmax = jnp.maximum(rmax, jnp.max(
-            jnp.where(eq & (rc[None, :, None] < big),
-                      rc[None, :, None], -1), axis=1))
-        cmin = jnp.minimum(cmin, jnp.min(
-            jnp.where(eq & (cc[None, :, None] < big),
-                      cc[None, :, None], big), axis=1))
-        cmax = jnp.maximum(cmax, jnp.max(
-            jnp.where(eq & (cc[None, :, None] < big),
-                      cc[None, :, None], -1), axis=1))
 
     area = sums[:, 0]
     prob_sum = sums[:, 1] + sums[:, 2]

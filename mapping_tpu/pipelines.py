@@ -134,6 +134,29 @@ class UNetPipeline:
         return_probabilities: legacy path returning resized (C, th, tw)
         probability maps.
         """
+        y_pred = []
+        y_probs = []
+        y_feats = []
+        for pred, feats, probs in self._postprocessed_images(
+                data, return_features=return_features,
+                return_probabilities=return_probabilities):
+            y_pred.append(pred)
+            if return_features:
+                y_feats.append(feats)
+            if return_probabilities:
+                y_probs.append(probs)
+        out = {"y_pred": y_pred}
+        if return_features:
+            out["features_tensor"] = y_feats
+        if return_probabilities:
+            out["probabilities"] = y_probs
+        return out
+
+    def _postprocessed_images(self, data, return_features=False,
+                              return_probabilities=False):
+        """Shared batch->per-image postprocessing generator behind both
+        transform (list) and transform_stream (lazy): yields
+        ((labels, trimmed_scores), feature_tensor|None, probs|None)."""
         if not os.path.exists(self.trainer_cache_path):
             raise RuntimeError(
                 f"no trained unet found at {self.trainer_cache_path}; run "
@@ -152,9 +175,6 @@ class UNetPipeline:
 
         post = self.config.postprocessor
         target_size = tuple(post.target_size)
-        y_pred = []
-        y_probs = []
-        y_feats = []
         for probs in probs_batches:
             probs = np.asarray(probs)
             if self.crop_predictions:
@@ -170,22 +190,16 @@ class UNetPipeline:
                 compute_features=return_features,
             )
             labels, scores = outs[0], outs[1]
-            for lab, sc in zip(labels, scores):
+            feats = outs[3] if return_features else [None] * len(labels)
+            if return_probabilities:
+                probs_list = [np.moveaxis(item, -1, 0)
+                              for item in _resize_probs(probs, target_size)]
+            else:
+                probs_list = [None] * len(labels)
+            for lab, sc, ft, pr in zip(labels, scores, feats, probs_list):
                 trimmed = [list(sc[l][: int(lab[l].max())])
                            for l in range(lab.shape[0])]
-                y_pred.append((lab, trimmed))
-            if return_features:
-                y_feats.extend(outs[3])
-            if return_probabilities:
-                resized = _resize_probs(probs, target_size)
-                for item in resized:
-                    y_probs.append(np.moveaxis(item, -1, 0))
-        out = {"y_pred": y_pred}
-        if return_features:
-            out["features_tensor"] = y_feats
-        if return_probabilities:
-            out["probabilities"] = y_probs
-        return out
+                yield (lab, trimmed), ft, pr
 
     def transform_stream(self, data):
         """True streaming inference: {'y_pred': <per-image generator>}.
@@ -197,42 +211,8 @@ class UNetPipeline:
         forward and fused postprocess advance one batch at a time and images
         are yielded singly — peak memory is one postprocessed batch.
         """
-        if not os.path.exists(self.trainer_cache_path):
-            raise RuntimeError(
-                f"no trained unet found at {self.trainer_cache_path}; run "
-                "train first (trainable-transformer contract, reference "
-                "src/steps/base.py:166-174)")
-        if not getattr(self, "_weights_loaded", False):
-            self.trainer.load(self.trainer_cache_path)
-            self._weights_loaded = True
-
-        meta = data["input"]["meta"]
-        x, _ = _xy(meta)
-        gens = self.loader.transform(x, None, train_mode=False)
-        probs_batches = self._predict_batches(gens["datagen"])
-        post = self.config.postprocessor
-        target_size = tuple(post.target_size)
-
-        def per_image():
-            for probs in probs_batches:
-                probs = np.asarray(probs)
-                if self.crop_predictions:
-                    probs = self._center_crop(probs, target_size)
-                labels, scores, _ = postprocess_probabilities(
-                    probs,
-                    target_size=target_size,
-                    category_layers=self.category_layers,
-                    erode_size=int(post.erode_selem_size),
-                    dilate_size=int(post.dilate_selem_size),
-                    active_layers=active_layers_for(CATEGORY_IDS,
-                                                    self.category_layers),
-                )
-                for lab, sc in zip(labels, scores):
-                    trimmed = [list(sc[l][: int(lab[l].max())])
-                               for l in range(lab.shape[0])]
-                    yield (lab, trimmed)
-
-        return {"y_pred": per_image()}
+        return {"y_pred": (pred for pred, _, _ in
+                           self._postprocessed_images(data))}
 
     def _predict_batches(self, datagen):
         if not self.tta:

@@ -26,6 +26,9 @@ import pandas as pd
 
 from mapping_tpu.constants import CATEGORY_IDS, CATEGORY_LAYERS
 from mapping_tpu.ops import rle as rle_ops
+from mapping_tpu.utils.logging import get_logger
+
+logger = get_logger()
 
 
 # ---------------------------------------------------------------------------
@@ -171,11 +174,19 @@ def features_from_tensor(feature_tensor, labels, annotations=None,
         cat_anns = annotations.get(category_ids[cat_nr], [])
         layer = labels[layer_nr]
         n = int(layer.max())
+        if n > feature_tensor.shape[1]:
+            # the device tensor has a fixed slot budget; past it the tail
+            # instances lose their features — clamp consistently (the
+            # annotation writer logs-and-drops the same tail)
+            logger.warning("layer %d: %d instances exceed the %d feature "
+                           "slots; tail dropped from scoring", layer_nr, n,
+                           feature_tensor.shape[1])
+            n = feature_tensor.shape[1]
         iou_matrix = _gt_iou_matrix(layer, cat_anns)
         block = feature_tensor[layer_nr, :n]
         df = pd.DataFrame(block, columns=list(FEATURE_COLUMNS))
         df.insert(0, "threshold", round(float(thresholds[layer_nr]), 2))
-        iou = (iou_matrix.max(axis=1)
+        iou = (iou_matrix.max(axis=1)[:n]
                if iou_matrix is not None and iou_matrix.size else
                [None] * n)
         df.insert(0, "iou", np.asarray(iou, dtype=object) if n else None)

@@ -86,6 +86,8 @@ class GBMRegressor(BaseTransformer):
 
         X = np.asarray(X)
         y = np.asarray(y).ravel()
+        if y_valid is None:
+            X_valid = None  # a features-only valid set can't drive early stop
         if native_gbm.available():
             self.estimator = native_gbm.NativeGBMRegressor(
                 learning_rate=self.model_params.get("learning_rate", 0.01),

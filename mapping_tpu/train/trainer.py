@@ -71,6 +71,8 @@ class UNetTrainer:
         self._fold_step = None
         self._fold_params = None
         self._fold_key = None
+        self._fold_compile = None
+        self._state_version = 0  # bumped on load()/graft (cache invalidation)
         self._tta_cache = {}
 
     # ------------------------------------------------------------- state
@@ -153,6 +155,7 @@ class UNetTrainer:
         else:
             raise ValueError(
                 f"pretrained weights unsupported for encoder {encoder!r}")
+        self._state_version += 1  # invalidate the folded-BN param cache
         logger.info("grafted pretrained encoder weights from %s", path)
 
     def _place_batch(self, batch):
@@ -206,21 +209,14 @@ class UNetTrainer:
                 return [np.shape(x) for x in jax.tree_util.tree_leaves(b)]
 
             for batch_id, batch in enumerate(flow):
-                if spc > 1:
-                    # a ragged tail batch can't join the stacked scan —
-                    # flush the equal-shaped group first
-                    if pending and batch_shapes(batch) != batch_shapes(pending[0]):
-                        run_pending()
-                    pending.append(batch)
-                    if len(pending) >= spc:
-                        run_pending()
-                else:
-                    callbacks.on_batch_begin()
-                    batch = self._place_batch(batch)
-                    self.state, metrics = self._train_step(self.state, batch)
-                    callbacks.on_batch_end(metrics={
-                        k: float(v)
-                        for k, v in jax.device_get(metrics).items()})
+                # a ragged tail batch can't join the stacked scan — flush
+                # the equal-shaped group first. spc == 1 degenerates to
+                # append-then-flush, the plain per-batch dispatch.
+                if pending and batch_shapes(batch) != batch_shapes(pending[0]):
+                    run_pending()
+                pending.append(batch)
+                if len(pending) >= spc:
+                    run_pending()
                 if batch_id + 1 >= steps:
                     break
             run_pending()
@@ -286,9 +282,14 @@ class UNetTrainer:
                 return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
             self._fold_step = fold_step
-        key = id(self.state.params)
+        if self._fold_compile is None:
+            self._fold_compile = jax.jit(fold_batch_stats)
+        # (version, step) identifies the current weights: step advances during
+        # training, version bumps on load()/graft. id(params) was unsound —
+        # CPython reuses addresses after GC, which could serve stale folds.
+        key = (self._state_version, int(jax.device_get(self.state.step)))
         if self._fold_key != key:
-            self._fold_params = jax.jit(fold_batch_stats)(
+            self._fold_params = self._fold_compile(
                 self.state.params, self.state.batch_stats)
             if self.mesh is not None:
                 from mapping_tpu.parallel import shard_pytree_replicated
@@ -391,4 +392,5 @@ class UNetTrainer:
     def load(self, filepath):
         self._ensure_state()
         self.state = load_state(self.state, filepath)
+        self._state_version += 1  # invalidate the folded-BN param cache
         return self

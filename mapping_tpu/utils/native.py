@@ -42,7 +42,10 @@ def _load():
         return _LIB
     _TRIED = True
     if not os.path.exists(_SO):
-        return None
+        # .so binaries are not committed — build on first use (fresh clones
+        # would otherwise silently fall back to the numpy codec)
+        build()  # on success this re-enters _load() and sets _LIB
+        return _LIB
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
