@@ -61,6 +61,46 @@ def _jit_sharded(per_device, mesh):
     return jax.jit(sharded)
 
 
+def make_spatial_infer(apply_fn, mesh: Mesh,
+                       target_size: Tuple[int, int] = (300, 300),
+                       category_layers: Tuple[int, ...] = (1, 1),
+                       active_layers: Tuple[int, ...] = None,
+                       erode_size: int = 0,
+                       dilate_size: int = 0):
+    """Spatial partitioning for images too large for one chip's HBM: the
+    image HEIGHT shards over the 'data' axis and XLA/GSPMD inserts the halo
+    exchanges every conv window needs at shard edges (the scaling-book 'sp'
+    recipe: annotate shardings, let the compiler place collectives on ICI).
+
+    The reference has no analog — its biggest unit of work is one 256-512px
+    crop on one GPU (src/loaders.py crop_and_pad); this serves a e.g.
+    4096x4096 tile as ONE forward pass across the mesh. The FLOP-heavy
+    forward runs sharded; the probabilities (already resized toward
+    target_size inside the fused postprocess) are gathered, and the CCL +
+    scoring run on the small gathered map.
+
+    Returns jitted (variables, images (N, H, W, 3)) -> (labels, scores).
+    H must keep the model's divisibility constraint per shard
+    (H / data_axis_size divisible by 64 for the ResNet U-Nets).
+    """
+    spatial = NamedSharding(mesh, P(None, DATA_AXIS))
+    replicated = NamedSharding(mesh, P())
+
+    @jax.jit
+    def run(variables, images):
+        images = jax.lax.with_sharding_constraint(images, spatial)
+        logits = apply_fn(variables, images)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = jax.lax.with_sharding_constraint(probs, replicated)
+        labels, scores, _ = fused_postprocess(
+            probs, target_size=target_size, category_layers=category_layers,
+            erode_size=erode_size, dilate_size=dilate_size,
+            active_layers=active_layers)
+        return labels, scores
+
+    return run
+
+
 def make_sharded_tta_infer(apply_fn, mesh: Mesh, specs, method: str = "gmean",
                            target_size: Tuple[int, int] = (300, 300),
                            category_layers: Tuple[int, ...] = (1, 1),

@@ -65,3 +65,35 @@ def test_sharded_tta_infer_matches_single():
     np.testing.assert_array_equal(np.asarray(labels), labels_ref)
     np.testing.assert_allclose(np.asarray(scores), scores_ref,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_infer_matches_single():
+    """Height-sharded ('sp') serving: GSPMD halo-exchanged forward over the
+    8-device mesh must equal the single-device fused path bit-for-bit on
+    labels and to reduction noise on scores."""
+    from mapping_tpu.infer.sharded import make_spatial_infer
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh()
+    model = UNet(n_filters=4, repeat_blocks=2, dtype=jnp.float32)
+    # one big image: H=512 shards to 64 rows/device (divisible by the
+    # model's stride pyramid per shard)
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 512, 256, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def apply_fn(v, im):
+        return model.apply(v, im, train=False)
+
+    infer = make_spatial_infer(apply_fn, mesh, target_size=(128, 128),
+                               category_layers=(1, 1), active_layers=(1,))
+    labels, scores = infer(variables, x)
+
+    probs = np.asarray(jax.nn.softmax(apply_fn(variables, x), axis=-1))
+    labels_ref, scores_ref, _ = postprocess_probabilities(
+        probs, target_size=(128, 128), category_layers=(1, 1),
+        active_layers=(1,))
+    np.testing.assert_array_equal(np.asarray(labels), labels_ref)
+    np.testing.assert_allclose(np.asarray(scores), scores_ref,
+                               rtol=1e-4, atol=1e-4)
