@@ -125,3 +125,41 @@ def test_evaluate_stream_mode_matches_batch(workspace):
                                 overrides={"stream_mode": 1})
     ap_stream, _ = manager_s.evaluate("unet", dev_mode=False, chunk_size=None)
     assert ap_stream == ap_batch
+
+
+def test_transform_stream_is_lazy(workspace):
+    """transform_stream must not postprocess ahead of consumption: after
+    pulling ONE image from the generator, at most one batch may have gone
+    through postprocessing (reference generator-transformer semantics,
+    src/utils.py:392-413)."""
+    import pandas as pd
+
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"])
+    meta = pd.read_csv(os.path.join(manager.params.meta_dir, "metadata.csv"))
+    meta_val = meta[meta["is_valid"] == 1]
+
+    pipeline = pl.PIPELINES["unet"]["inference"](manager.config)
+    calls = {"n": 0}
+    orig = pl.postprocess_probabilities
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    pl.postprocess_probabilities = counting
+    try:
+        data = {
+            "input": {"meta": meta_val,
+                      "target_sizes": [(300, 300)] * len(meta_val)},
+            "specs": {"train_mode": False},
+            "callback_input": {"meta_valid": None},
+        }
+        stream = pipeline.transform_stream(data)["y_pred"]
+        assert calls["n"] == 0  # nothing ran before consumption
+        next(stream)
+        assert calls["n"] == 1  # exactly one batch postprocessed
+    finally:
+        pl.postprocess_probabilities = orig
