@@ -360,8 +360,16 @@ def overlay_masks(
     def flush(bucket):
         items = pending.pop(bucket)
         (h, w), pad = bucket
-        stacks = np.zeros((len(items), pad, h, w), bool)
-        valid = np.zeros((len(items), pad), bool)
+        # pad tail flushes up to the bucket's full batch: a distinct batch
+        # size is a distinct program, and each program costs minutes of
+        # remote-compile on the attached chip (measured: ~90-170 s vs 1.7 s
+        # of steady-state compute for a whole 40-image split). Padded rows
+        # are all-background and produce no writes.
+        batch = batch_for_pad[pad]
+        n_real = len(items)
+        stacks = np.zeros((batch if n_real < batch else n_real, pad, h, w),
+                          bool)
+        valid = np.zeros((stacks.shape[0], pad), bool)
         for i, (image, _, masks) in enumerate(items):
             for j, m in enumerate(masks[:pad]):
                 stacks[i, j] = m.astype(bool)
