@@ -270,6 +270,17 @@ class SegmentationLoader:
             def __iter__(self):
                 def make_batch(i):
                     idxs = np.arange(i * bs, min((i + 1) * bs, n))
+                    if y is None and len(idxs) < bs:
+                        # pure inference: pad the ragged tail by repeating
+                        # the last image so the forward/postprocess program
+                        # keeps ONE batch shape (a distinct tail shape costs
+                        # minutes of compile on the attached chip). Every
+                        # consumer zips per-image results against the meta
+                        # table, which drops the duplicates. Validation
+                        # batches (y given) stay ragged — padding would bias
+                        # the mean loss.
+                        idxs = np.concatenate(
+                            [idxs, np.full(bs - len(idxs), idxs[-1])])
                     return loader._assemble(X, y, idxs)
 
                 for image_b, target_b in _Prefetcher(make_batch, steps):
@@ -292,7 +303,9 @@ class SegmentationLoader:
             def __len__(self):
                 return steps
 
-        return EvalFlow(), steps
+        flow = EvalFlow()
+        flow.n_images = n  # real count; padded tail rows are duplicates
+        return flow, steps
 
     def transform(self, X, y=None, X_valid=None, y_valid=None,
                   train_mode=True, **kwargs):

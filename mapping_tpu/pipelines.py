@@ -172,6 +172,10 @@ class UNetPipeline:
         x, _ = _xy(meta)
         gens = self.loader.transform(x, None, train_mode=False)
         probs_batches = self._predict_batches(gens["datagen"])
+        # the loader pads the ragged tail batch with duplicate images (one
+        # compiled program per batch shape); emit only the real images
+        n_images = getattr(gens["datagen"][0], "n_images", None)
+        emitted = 0
 
         post = self.config.postprocessor
         target_size = tuple(post.target_size)
@@ -197,6 +201,9 @@ class UNetPipeline:
             else:
                 probs_list = [None] * len(labels)
             for lab, sc, ft, pr in zip(labels, scores, feats, probs_list):
+                if n_images is not None and emitted >= n_images:
+                    return
+                emitted += 1
                 trimmed = [list(sc[l][: int(lab[l].max())])
                            for l in range(lab.shape[0])]
                 yield (lab, trimmed), ft, pr

@@ -374,14 +374,24 @@ class UNetTrainer:
         """{'multichannel_map_prediction': probs} like the reference
         transformer output naming (src/models.py:110-146)."""
         gen = self.predict_probs_datagen(datagen)
+        # inference flows pad the ragged tail batch with duplicates of the
+        # last image (one compiled program per batch shape); n_images is the
+        # real count to trim back to
+        n_images = getattr(datagen[0], "n_images", None)
         if stream:
             def per_image():
+                emitted = 0
                 for batch in gen:
                     for item in np.asarray(batch):
+                        if n_images is not None and emitted >= n_images:
+                            return
+                        emitted += 1
                         yield item
             return {"multichannel_map_prediction": per_image()}
         batches = [np.asarray(b) for b in gen]
         probs = np.concatenate(batches) if batches else np.zeros((0,))
+        if n_images is not None:
+            probs = probs[:n_images]
         return {"multichannel_map_prediction": probs}
 
     # ------------------------------------------------------------ persist

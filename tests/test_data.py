@@ -171,3 +171,50 @@ def test_predict_heterogeneous_image_sizes(tmp_path):
                                    train_mode=False)["datagen"]
     batch = next(iter(flow))
     assert batch["image"].shape == (3, 64, 64, 3)
+
+
+def test_inference_tail_batch_padded_to_full_shape(dataset, prepared):
+    """A ragged tail batch in pure-inference flows is padded with duplicate
+    images so every batch compiles to the SAME program shape; n_images on
+    the flow records the real count for consumers to trim."""
+    from mapping_tpu.data import generate_metadata
+    from mapping_tpu.data.loader import SegmentationLoader
+
+    meta = generate_metadata(dataset, prepared, "masks_overlayed")
+    paths = meta.file_path_image.values[:3]  # 3 images, bs=2 -> ragged tail
+
+    loader = SegmentationLoader(mode="resize", size=(64, 64),
+                                batch_size_inference=2)
+    out = loader.transform(paths, None, train_mode=False)
+    flow, steps = out["datagen"]
+    assert steps == 2
+    assert flow.n_images == 3
+    batches = list(flow)
+    assert [b["image"].shape[0] for b in batches] == [2, 2]  # padded tail
+    # pad row duplicates the last real image
+    np.testing.assert_array_equal(np.asarray(batches[1]["image"][1]),
+                                  np.asarray(batches[1]["image"][0]))
+
+    # validation flows (targets given) stay ragged: padding would bias loss
+    targets = meta.file_path_mask_eroded_0_dilated_0.values[:3]
+    out_v = loader.transform(paths, targets, train_mode=False)
+    vflow, vsteps = out_v["datagen"]
+    vbatches = list(vflow)
+    assert [b["image"].shape[0] for b in vbatches] == [2, 1]
+
+    # trainer.transform trims back to the real image count
+    import jax.numpy as jnp
+
+    from mapping_tpu.train.trainer import UNetTrainer
+
+    trainer = UNetTrainer(
+        model_params={"encoder": "from_scratch", "n_filters": 4,
+                      "repeat_blocks": 1, "dtype": jnp.float32},
+        optimizer_params={"lr": 1e-3}, loss_params={"imsize": (64, 64)},
+        training_config={"epochs": 1}, loss_name="ce", input_size=(64, 64))
+    trainer._ensure_state()
+    probs = trainer.transform(out["datagen"])["multichannel_map_prediction"]
+    assert probs.shape[0] == 3
+    stream = trainer.transform(out["datagen"],
+                               stream=True)["multichannel_map_prediction"]
+    assert sum(1 for _ in stream) == 3
