@@ -7,49 +7,11 @@ pycocotools implemented in C for the same reason. Built lazily via
 """
 
 import ctypes
-import os
-import subprocess
 
-_LIB = None
-_TRIED = False
-
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "cpp", "rle.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "librle.so")
+from mapping_tpu.utils.native_lib import NativeLib
 
 
-def build(force=False):
-    """Compile cpp/rle.cpp to a shared library. Returns True on success."""
-    global _LIB, _TRIED
-    if not os.path.exists(_SRC):
-        return False
-    if force or not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
-                check=True,
-                capture_output=True,
-            )
-        except Exception:
-            return False
-    _TRIED = False
-    _LIB = None
-    return _load() is not None
-
-
-def _load():
-    global _LIB, _TRIED
-    if _LIB is not None or _TRIED:
-        return _LIB
-    _TRIED = True
-    if not os.path.exists(_SO):
-        # .so binaries are not committed — build on first use (fresh clones
-        # would otherwise silently fall back to the numpy codec)
-        build()  # on success this re-enters _load() and sets _LIB
-        return _LIB
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
-        return None
+def _register(lib):
     lib.rle_counts_to_string.restype = ctypes.c_long
     lib.rle_counts_to_string.argtypes = [
         ctypes.POINTER(ctypes.c_long), ctypes.c_long, ctypes.c_char_p]
@@ -65,12 +27,12 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.c_long, ctypes.c_long,
         ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_double)]
-    _LIB = lib
-    return _LIB
 
 
-def available():
-    return _load() is not None
+_lib = NativeLib("rle.cpp", "librle.so", _register)
+build = _lib.build
+_load = _lib.load
+available = _lib.available
 
 
 def counts_to_string(counts):

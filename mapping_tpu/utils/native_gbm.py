@@ -9,51 +9,13 @@ unavailable (mapping_tpu/scoring.py).
 """
 
 import ctypes
-import os
-import subprocess
 
 import numpy as np
 
-_SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "cpp", "gbm.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "libgbm.so")
-
-_LIB = None
-_TRIED = False
+from mapping_tpu.utils.native_lib import NativeLib
 
 
-def build(force=False):
-    """Compile cpp/gbm.cpp to a shared library. Returns True on success."""
-    global _LIB, _TRIED
-    if not os.path.exists(_SRC):
-        return False
-    if force or not os.path.exists(_SO) or \
-            os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-                 "-o", _SO],
-                check=True, capture_output=True)
-        except Exception:
-            return False
-    _TRIED = False
-    _LIB = None
-    return _load() is not None
-
-
-def _load():
-    global _LIB, _TRIED
-    if _LIB is not None or _TRIED:
-        return _LIB
-    _TRIED = True
-    if not os.path.exists(_SO):
-        if not build():
-            return None
-    try:
-        lib = ctypes.CDLL(_SO)
-    except OSError:
-        return None
+def _register(lib):
     D = ctypes.POINTER(ctypes.c_double)
     lib.gbm_train.restype = ctypes.c_void_p
     lib.gbm_train.argtypes = [
@@ -78,12 +40,12 @@ def _load():
     lib.gbm_deserialize.argtypes = [ctypes.c_char_p, ctypes.c_long]
     lib.gbm_free.restype = None
     lib.gbm_free.argtypes = [ctypes.c_void_p]
-    _LIB = lib
-    return _LIB
 
 
-def available():
-    return _load() is not None
+_lib = NativeLib("gbm.cpp", "libgbm.so", _register)
+build = _lib.build
+_load = _lib.load
+available = _lib.available
 
 
 def _as_c(a):
