@@ -60,7 +60,7 @@ def _max_err(a, b):
     return float(np.abs(np.asarray(a) - np.asarray(b)).max())
 
 
-@pytest.mark.parametrize("depth", [34, 101])
+@pytest.mark.parametrize("depth", [34, 101, 152])
 def test_resnet_encoder_stage_parity(depth):
     torch.manual_seed(depth)
     tmodel = randomize_bn_stats(TorchUNetResNet(depth), seed=depth).eval()
@@ -84,7 +84,7 @@ def test_resnet_encoder_stage_parity(depth):
 
 
 @pytest.mark.parametrize(
-    "depth,is_deconv", [(34, True), (34, False), (101, True)]
+    "depth,is_deconv", [(34, True), (34, False), (101, True), (152, True)]
 )
 def test_unet_resnet_full_forward_parity(depth, is_deconv):
     torch.manual_seed(100 + depth)
