@@ -298,6 +298,9 @@ void* gbm_train(const double* X, const double* y, long n, int d,
                 int early_stopping_rounds, double feature_fraction,
                 unsigned seed) {
   if (n <= 0 || d <= 0) return nullptr;
+  // bin ids are stored in uint8: a caller-supplied max_bin > 256 would
+  // silently wrap and corrupt histogram splits
+  max_bin = std::max(2, std::min(max_bin, 256));
   Model* m = new Model();
   m->num_features = d;
   double mean = 0.0;
@@ -434,13 +437,16 @@ void* gbm_deserialize(const char* buf, long len) {
   get_i(nf);
   get_i(bi);
   get_i(nt);
+  // a corrupt/truncated blob can carry negative counts: nn < 0 passes the
+  // `p + nn * 28 > end` bound (negative LHS) and then blows up in resize()
+  if (nf < 0 || nt < 0 || nt > (int32_t)(len / 4)) { delete m; return nullptr; }
   m->num_features = nf;
   m->best_iteration = bi;
   for (int t = 0; t < nt; ++t) {
     if (p + 4 > end) { delete m; return nullptr; }
     int32_t nn;
     get_i(nn);
-    if (p + (long)nn * 28 > end) { delete m; return nullptr; }
+    if (nn < 0 || p + (long)nn * 28 > end) { delete m; return nullptr; }
     Tree tree;
     tree.nodes.resize(nn);
     for (int k = 0; k < nn; ++k) {

@@ -287,7 +287,7 @@ def overlay_masks(
     `{target_dir}/{dataset}/{masks,distances,sizes}/{image_stem}.*` so the
     metadata path-rewrite contract (src/loaders.py:140-150) carries over.
     """
-    from collections import defaultdict
+    from collections import defaultdict, deque
     from multiprocessing.pool import ThreadPool
 
     import joblib
@@ -355,7 +355,13 @@ def overlay_masks(
         return image, size, masks
 
     pending = defaultdict(list)
-    writes = []
+    writes = deque()
+
+    def drain_writes(limit):
+        # surface errors + release completed AsyncResults (each pending write
+        # holds ~1 MB of artifact arrays; unbounded at CrowdAI scale)
+        while writes and (writes[0].ready() or len(writes) > limit):
+            writes.popleft().get()
 
     def flush(bucket):
         items = pending.pop(bucket)
@@ -387,8 +393,28 @@ def overlay_masks(
             writes.append(pool.apply_async(
                 write_artifacts, (stem, mask_b[i], dist_b[i], sizes_b[i])))
 
-    for image, size, masks in pool.imap(decode, coco.get_img_ids(),
-                                        chunksize=4):
+    # Bounded decode lookahead: pool.imap enqueues every decode task up
+    # front, so queued write_artifacts tasks would only run after ALL decodes
+    # drain — each deferred write holding ~1 MB of arrays (hundreds of GB at
+    # the 280k-tile CrowdAI scale). Submitting decodes manually with a small
+    # in-flight window keeps writes interleaved on the same pool and bounds
+    # decoded-result RAM.
+    lookahead = 4 * max(int(num_threads), 2)
+    id_iter = iter(coco.get_img_ids())
+    inflight = deque()
+
+    def submit_decodes():
+        while len(inflight) < lookahead:
+            image_id = next(id_iter, None)
+            if image_id is None:
+                return
+            inflight.append(pool.apply_async(decode, (image_id,)))
+
+    submit_decodes()
+    while inflight:
+        image, size, masks = inflight.popleft().get()
+        submit_decodes()
+        drain_writes(limit=lookahead)
         stem = os.path.splitext(image["file_name"])[0]
         n = len(masks)
         if n == 0:
