@@ -97,30 +97,82 @@ def inverse_batch(preds, specs: Sequence[TTASpec]):
     return jnp.stack(outs, axis=1)
 
 
-def aggregate(preds, method: str = "gmean", axis: int = 1):
+def aggregate(preds, method: str = "gmean", axis: int = 1, weights=None):
     """Aggregate the variants axis (reference agg_method registry,
-    src/loaders.py:443-450)."""
+    src/loaders.py:443-450).
+
+    weights: optional per-variant multiplicities (from dedupe_specs) so a
+    deduped variant stack aggregates identically to the full duplicated one.
+    max/min are multiplicity-invariant and ignore weights.
+    """
+    if weights is not None:
+        shape = [1] * preds.ndim
+        shape[axis] = -1
+        w = jnp.asarray(weights, jnp.float32).reshape(shape)
+        total = float(sum(weights))
     if method == "mean":
-        return jnp.mean(preds, axis=axis)
+        if weights is None:
+            return jnp.mean(preds, axis=axis)
+        return jnp.sum(preds * w, axis=axis) / total
     if method == "max":
         return jnp.max(preds, axis=axis)
     if method == "min":
         return jnp.min(preds, axis=axis)
     if method == "gmean":
         eps = 1e-12
-        return jnp.exp(jnp.mean(jnp.log(jnp.maximum(preds, eps)), axis=axis))
+        logs = jnp.log(jnp.maximum(preds, eps))
+        if weights is None:
+            return jnp.exp(jnp.mean(logs, axis=axis))
+        return jnp.exp(jnp.sum(logs * w, axis=axis) / total)
     raise KeyError(f"unknown aggregation method {method!r}")
 
 
+def dedupe_specs(specs: Sequence[TTASpec]):
+    """Collapse transform-identical TTA specs into (unique_specs, weights).
+
+    The reference applies flips with an `ud elif lr` chain
+    (src/loaders.py:477-486), so every (ud=True, lr=True, rot) spec performs
+    exactly the same transform as (ud=True, lr=False, rot): with the default
+    16-spec list, only 12 forwards are unique and the four duplicates carry
+    weight 2. Aggregating the unique stack with these weights reproduces the
+    16-variant result while saving 25% of the TTA forward FLOPs.
+    """
+    canon = {}
+    order = []
+    for spec in specs:
+        if spec.ud_flip:
+            key = ("ud", spec.rotation)
+        elif spec.lr_flip:
+            key = ("lr", spec.rotation)
+        elif spec.color_shift:
+            key = ("color", spec.color_shift, spec.rotation)
+        else:
+            key = ("id", spec.rotation)
+        if key not in canon:
+            canon[key] = [spec, 0]
+            order.append(key)
+        canon[key][1] += 1
+    return ([canon[k][0] for k in order], [canon[k][1] for k in order])
+
+
 def tta_wrap_predict(predict_probs, specs: Sequence[TTASpec],
-                     method: str = "gmean"):
+                     method: str = "gmean", dedupe: bool = True):
     """Wrap a (images -> probs) function with fused TTA.
 
     predict_probs: (N, H, W, 3-ish) -> (N, H, W, C), typically the jitted
     forward+softmax. Returns a function (B, H, W, C_in) -> aggregated
     (B, H, W, C) probabilities; the whole expand/forward/inverse/aggregate
     chain stays on device.
+
+    dedupe=True (default) collapses transform-identical specs and aggregates
+    with multiplicity weights — same output as running every spec, fewer
+    forwards (16 -> 12 on the reference's default spec list).
     """
+    weights = None
+    if dedupe:
+        specs, counts = dedupe_specs(specs)
+        if any(c > 1 for c in counts):
+            weights = counts
     v = len(specs)
 
     def run(images, rng=None):
@@ -130,6 +182,6 @@ def tta_wrap_predict(predict_probs, specs: Sequence[TTASpec],
         probs = predict_probs(flat)
         probs = probs.reshape((b, v) + probs.shape[1:])
         probs = inverse_batch(probs, specs)
-        return aggregate(probs, method)
+        return aggregate(probs, method, weights=weights)
 
     return run
