@@ -91,6 +91,8 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "validate_with_map": 1,
     # parallelism / memory
     "data_parallel": 0,   # shard the batch over all devices ('data' axis)
+    "spatial_serving": 0,  # shard image HEIGHT over the mesh at inference
+                           # (serve one huge tile as a single forward; 'sp')
     "remat": 0,           # jax.checkpoint the forward (memory for FLOPs)
     # observability / recovery
     "resume_training": 1,

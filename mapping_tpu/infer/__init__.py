@@ -5,10 +5,12 @@ RLE bytes leave the device (SURVEY.md §7 phase 6).
 
 from mapping_tpu.infer.postprocess import fused_postprocess, postprocess_probabilities
 from mapping_tpu.infer.annotations import create_annotations, labeled_to_annotations
+from mapping_tpu.infer.serving import FusedServe
 
 __all__ = [
     "fused_postprocess",
     "postprocess_probabilities",
     "create_annotations",
     "labeled_to_annotations",
+    "FusedServe",
 ]

@@ -95,9 +95,14 @@ def fused_postprocess(
     """
     b = probs.shape[0]
     th, tw = target_size
-    probs_r = jax.image.resize(
-        probs.astype(jnp.float32),
-        (b, th, tw, probs.shape[-1]), "linear")
+    if probs.shape[1:3] == (th, tw):
+        # already at target size (e.g. the spatial serving path resizes
+        # per-shard before the gather) — skip the resize stage
+        probs_r = probs.astype(jnp.float32)
+    else:
+        probs_r = jax.image.resize(
+            probs.astype(jnp.float32),
+            (b, th, tw, probs.shape[-1]), "linear")
 
     specs = layer_thresholds(category_layers)
     L = len(specs)

@@ -75,9 +75,12 @@ def make_spatial_infer(apply_fn, mesh: Mesh,
     The reference has no analog — its biggest unit of work is one 256-512px
     crop on one GPU (src/loaders.py crop_and_pad); this serves a e.g.
     4096x4096 tile as ONE forward pass across the mesh. The FLOP-heavy
-    forward runs sharded; the probabilities (already resized toward
-    target_size inside the fused postprocess) are gathered, and the CCL +
-    scoring run on the small gathered map.
+    forward runs sharded; the probabilities are resized toward target_size
+    PER SHARD (the resize along the sharded H axis is a matmul XLA
+    partitions into per-shard partials + a small cross-shard reduction), so
+    the gather moves a (N, th, tw, C) map — ~(H/th)x less ICI traffic than
+    gathering the full-resolution probabilities (~134 MB/image at 4096²
+    before this change). CCL + scoring then run on the small replicated map.
 
     Returns jitted (variables, images (N, H, W, 3)) -> (labels, scores).
     H must keep the model's divisibility constraint per shard
@@ -85,12 +88,16 @@ def make_spatial_infer(apply_fn, mesh: Mesh,
     """
     spatial = NamedSharding(mesh, P(None, DATA_AXIS))
     replicated = NamedSharding(mesh, P())
+    th, tw = target_size
 
     @jax.jit
     def run(variables, images):
         images = jax.lax.with_sharding_constraint(images, spatial)
         logits = apply_fn(variables, images)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if probs.shape[1:3] != (th, tw):
+            probs = jax.image.resize(
+                probs, (probs.shape[0], th, tw, probs.shape[-1]), "linear")
         probs = jax.lax.with_sharding_constraint(probs, replicated)
         labels, scores, _ = fused_postprocess(
             probs, target_size=target_size, category_layers=category_layers,

@@ -22,14 +22,11 @@ the reference's images_with_scores.
 import os
 from functools import partial
 
-import numpy as np
-
 from mapping_tpu.constants import (CATEGORY_IDS, CATEGORY_LAYERS, SEED,
                                    X_COLUMNS, Y_COLUMNS)
 from mapping_tpu.data.loader import SegmentationLoader
 from mapping_tpu.data.tta import tta_specs
-from mapping_tpu.infer.postprocess import (active_layers_for,
-                                           postprocess_probabilities)
+from mapping_tpu.infer.postprocess import active_layers_for
 from mapping_tpu.scoring import (NonMaximumSupression, ScoringGBM,
                                  ScoringRandomForest, features_from_tensor)
 from mapping_tpu.train.trainer import UNetTrainer
@@ -73,6 +70,7 @@ class UNetPipeline:
         # prediction_crop step, src/pipelines.py:65-80,113-125)
         self.crop_predictions = padded or (
             tta and loader_cfg["mode"] == "crop_and_pad")
+        self._serve_cache = {}
         self.trainer = UNetTrainer(
             model_params=config.unet.model_params,
             optimizer_params=config.unet.optimizer_params,
@@ -82,7 +80,9 @@ class UNetPipeline:
             loss_name=loss_name,
             input_size=config.loader.size,
             seed=SEED,
-            mesh="auto" if config.params.get("data_parallel", 0) else None,
+            mesh="auto" if (config.params.get("data_parallel", 0)
+                            or config.params.get("spatial_serving", 0))
+            else None,
             remat=bool(config.params.get("remat", 0)),
             pretrained_weights=config.unet.get("pretrained_weights", ""),
         )
@@ -122,8 +122,7 @@ class UNetPipeline:
         return {"y_pred": []}
 
     # -------------------------------------------------------- inference
-    def transform(self, data, return_probabilities=False,
-                  return_features=False):
+    def transform(self, data, return_features=False):
         """y_pred per image.
 
         return_features: also emit the per-image (L, max_instances, 9)
@@ -131,32 +130,60 @@ class UNetPipeline:
         pipelines; no probability maps leave the device —
         ops.instance.instance_feature_tensor replaces the reference's
         per-instance host loop, src/postprocessing.py:261-303).
-        return_probabilities: legacy path returning resized (C, th, tw)
-        probability maps.
         """
         y_pred = []
-        y_probs = []
         y_feats = []
-        for pred, feats, probs in self._postprocessed_images(
-                data, return_features=return_features,
-                return_probabilities=return_probabilities):
+        for pred, feats in self._postprocessed_images(
+                data, return_features=return_features):
             y_pred.append(pred)
             if return_features:
                 y_feats.append(feats)
-            if return_probabilities:
-                y_probs.append(probs)
         out = {"y_pred": y_pred}
         if return_features:
             out["features_tensor"] = y_feats
-        if return_probabilities:
-            out["probabilities"] = y_probs
         return out
 
-    def _postprocessed_images(self, data, return_features=False,
-                              return_probabilities=False):
-        """Shared batch->per-image postprocessing generator behind both
-        transform (list) and transform_stream (lazy): yields
-        ((labels, trimmed_scores), feature_tensor|None, probs|None)."""
+    def serve_program(self, return_features=False):
+        """The fused forward(+TTA)+postprocess program this pipeline serves
+        with — ONE device dispatch per batch; only labels/scores/areas (and
+        optionally the feature tensor) ever leave the device. Routed through
+        the mesh (shard_map over 'data') when `data_parallel: 1`, and through
+        GSPMD height-sharding when `spatial_serving: 1`.
+        """
+        key = bool(return_features)
+        if key in self._serve_cache:
+            return self._serve_cache[key]
+        from mapping_tpu.infer.serving import FusedServe
+
+        post = self.config.postprocessor
+        probs_fn, get_params = self.trainer.probs_apply_fn()
+        specs = (tta_specs(**dict(self.config.tta_generator))
+                 if self.tta else None)
+        spatial = bool(self.config.params.get("spatial_serving", 0))
+        serve = FusedServe(
+            probs_fn, get_params,
+            target_size=tuple(post.target_size),
+            category_layers=self.category_layers,
+            active_layers=active_layers_for(CATEGORY_IDS,
+                                            self.category_layers),
+            erode_size=int(post.erode_selem_size),
+            dilate_size=int(post.dilate_selem_size),
+            crop_size=(tuple(post.target_size) if self.crop_predictions
+                       else None),
+            tta_specs=specs,
+            tta_method=self.config.tta_aggregator.method,
+            compute_features=return_features,
+            mesh=self.trainer.mesh,
+            spatial=spatial,
+        )
+        self._serve_cache[key] = serve
+        return serve
+
+    def _postprocessed_images(self, data, return_features=False):
+        """Shared batch->per-image generator behind transform (list),
+        transform_stream (lazy) and the streaming scoring-model fit: yields
+        ((labels, trimmed_scores), feature_tensor|None) one image at a time;
+        peak live memory is one postprocessed batch."""
         if not os.path.exists(self.trainer_cache_path):
             raise RuntimeError(
                 f"no trained unet found at {self.trainer_cache_path}; run "
@@ -171,42 +198,28 @@ class UNetPipeline:
         meta = data["input"]["meta"]
         x, _ = _xy(meta)
         gens = self.loader.transform(x, None, train_mode=False)
-        probs_batches = self._predict_batches(gens["datagen"])
+        flow, steps = gens["datagen"]
         # the loader pads the ragged tail batch with duplicate images (one
         # compiled program per batch shape); emit only the real images
-        n_images = getattr(gens["datagen"][0], "n_images", None)
+        n_images = getattr(flow, "n_images", None)
+        serve = self.serve_program(return_features)
         emitted = 0
-
-        post = self.config.postprocessor
-        target_size = tuple(post.target_size)
-        for probs in probs_batches:
-            probs = np.asarray(probs)
-            if self.crop_predictions:
-                probs = self._center_crop(probs, target_size)
-            outs = postprocess_probabilities(
-                probs,
-                target_size=target_size,
-                category_layers=self.category_layers,
-                erode_size=int(post.erode_selem_size),
-                dilate_size=int(post.dilate_selem_size),
-                active_layers=active_layers_for(CATEGORY_IDS,
-                                                self.category_layers),
-                compute_features=return_features,
-            )
-            labels, scores = outs[0], outs[1]
-            feats = outs[3] if return_features else [None] * len(labels)
-            if return_probabilities:
-                probs_list = [np.moveaxis(item, -1, 0)
-                              for item in _resize_probs(probs, target_size)]
-            else:
-                probs_list = [None] * len(labels)
-            for lab, sc, ft, pr in zip(labels, scores, feats, probs_list):
+        for batch_id, batch in enumerate(flow):
+            images = batch["image"] if isinstance(batch, dict) else batch
+            outs = serve(images)
+            labels_b, scores_b = outs[0], outs[1]
+            feats_b = outs[3] if return_features else None
+            for i in range(labels_b.shape[0]):
                 if n_images is not None and emitted >= n_images:
                     return
                 emitted += 1
+                lab, sc = labels_b[i], scores_b[i]
                 trimmed = [list(sc[l][: int(lab[l].max())])
                            for l in range(lab.shape[0])]
-                yield (lab, trimmed), ft, pr
+                yield ((lab, trimmed),
+                       feats_b[i] if return_features else None)
+            if batch_id + 1 >= steps:
+                break
 
     def transform_stream(self, data):
         """True streaming inference: {'y_pred': <per-image generator>}.
@@ -214,34 +227,12 @@ class UNetPipeline:
         The reference's stream mode yields per-image results through the
         whole postprocessing chain (make_apply_transformer_stream
         src/utils.py:392-413, PyTorchUNetStream src/models.py:123-146) so
-        huge datasets never materialize all predictions. Here the loader,
-        forward and fused postprocess advance one batch at a time and images
-        are yielded singly — peak memory is one postprocessed batch.
+        huge datasets never materialize all predictions. Here the loader and
+        the fused serve program advance one batch at a time and images are
+        yielded singly — peak memory is one postprocessed batch.
         """
-        return {"y_pred": (pred for pred, _, _ in
+        return {"y_pred": (pred for pred, _ in
                            self._postprocessed_images(data))}
-
-    def _predict_batches(self, datagen):
-        if not self.tta:
-            yield from self.trainer.predict_probs_datagen(datagen)
-            return
-        specs = tta_specs(**dict(self.config.tta_generator))
-        method = self.config.tta_aggregator.method
-        # one jitted program for the whole TTA chain, BN-folded when available
-        tta_run = self.trainer.tta_predict_fn(specs, method)
-        flow, steps = datagen
-        for batch_id, batch in enumerate(flow):
-            images = batch["image"] if isinstance(batch, dict) else batch
-            yield tta_run(images)
-            if batch_id + 1 >= steps:
-                break
-
-    @staticmethod
-    def _center_crop(probs, target_size):
-        h, w = probs.shape[1:3]
-        ch, cw = target_size
-        top, left = (h - ch) // 2, (w - cw) // 2
-        return probs[:, top:top + ch, left:left + cw]
 
 
 class ScoringModelPipeline:
@@ -268,12 +259,18 @@ class ScoringModelPipeline:
         # (reference _get_scoring_model_data, src/pipeline_manager.py:232-244)
         annotations = data["input"].get("annotations")
         meta = data["input"]["meta"]
-        out = self.base.transform(data, return_features=True)
         if annotations is None:
             annotations = [{}] * len(meta)
+        # STREAMING fit: the reference forces stream mode on this pipeline
+        # precisely so the whole prediction set is never materialized
+        # (src/pipelines.py:309, src/utils.py:392-413). Iterate the per-image
+        # generator and keep only the compact per-instance feature tables —
+        # at the default 10k-image sample the label maps alone would be
+        # ~70 GB of host RAM if collected first.
         features = []
-        for (labels, _), feats, anns in zip(
-                out["y_pred"], out["features_tensor"], annotations):
+        for ((labels, _), feats), anns in zip(
+                self.base._postprocessed_images(data, return_features=True),
+                annotations):
             features.append(features_from_tensor(
                 feats, labels, anns, category_layers=self.category_layers))
         self.model.fit(features)
@@ -326,17 +323,6 @@ class ScoringInferencePipeline:
 
     def fit_transform(self, data):
         return self.transform(data)
-
-
-def _resize_probs(probs, target_size):
-    """(B, H, W, C) -> (B, th, tw, C) bilinear, on device."""
-    import jax
-    import jax.numpy as jnp
-
-    return np.asarray(jax.image.resize(
-        jnp.asarray(probs),
-        (probs.shape[0],) + tuple(target_size) + (probs.shape[-1],),
-        "linear"))
 
 
 def _make_scoring_model(config):

@@ -142,24 +142,22 @@ def test_transform_stream_is_lazy(workspace):
     meta_val = meta[meta["is_valid"] == 1]
 
     pipeline = pl.PIPELINES["unet"]["inference"](manager.config)
+    # count fused-serve dispatches (each = one forward+postprocess batch)
+    serve = pipeline.serve_program(return_features=False)
     calls = {"n": 0}
-    orig = pl.postprocess_probabilities
 
-    def counting(*a, **k):
+    def counting(images):
         calls["n"] += 1
-        return orig(*a, **k)
+        return serve(images)
 
-    pl.postprocess_probabilities = counting
-    try:
-        data = {
-            "input": {"meta": meta_val,
-                      "target_sizes": [(300, 300)] * len(meta_val)},
-            "specs": {"train_mode": False},
-            "callback_input": {"meta_valid": None},
-        }
-        stream = pipeline.transform_stream(data)["y_pred"]
-        assert calls["n"] == 0  # nothing ran before consumption
-        next(stream)
-        assert calls["n"] == 1  # exactly one batch postprocessed
-    finally:
-        pl.postprocess_probabilities = orig
+    pipeline._serve_cache[False] = counting
+    data = {
+        "input": {"meta": meta_val,
+                  "target_sizes": [(300, 300)] * len(meta_val)},
+        "specs": {"train_mode": False},
+        "callback_input": {"meta_valid": None},
+    }
+    stream = pipeline.transform_stream(data)["y_pred"]
+    assert calls["n"] == 0  # nothing ran before consumption
+    next(stream)
+    assert calls["n"] == 1  # exactly one batch served
