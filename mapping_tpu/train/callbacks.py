@@ -56,11 +56,28 @@ class Callback:
         self.meta_valid = meta_valid
 
     def on_train_begin(self, *a, **kw):
-        self.epoch_id = 0
+        # a ResumeCheckpoint (which runs first in the CallbackList) may have
+        # published resume_info: the epoch schedule continues, not restarts
+        self.epoch_id = self._resume_info().get("next_epoch", 0)
         self.batch_id = 0
 
     def on_train_end(self, *a, **kw):
         pass
+
+    # -- resume protocol (failure recovery, SURVEY.md §5) -------------------
+    def _resume_info(self) -> dict:
+        return getattr(self.trainer, "resume_info", None) or {}
+
+    def _resume_state(self) -> Optional[dict]:
+        """This callback's own persisted state from the resume checkpoint
+        (keyed by class name; one instance per class in the default list)."""
+        return self._resume_info().get("callbacks", {}).get(
+            type(self).__name__)
+
+    def state_dict(self) -> dict:
+        """JSON-serializable state persisted into the resume checkpoint.
+        Default: nothing."""
+        return {}
 
     def on_epoch_begin(self, *a, **kw):
         pass
@@ -124,6 +141,16 @@ class CallbackList(Callback):
 
     def training_break(self, *a, **kw):
         return any(c.training_break(*a, **kw) for c in self.callbacks)
+
+    def state_dicts(self) -> dict:
+        """Per-callback resume states, keyed by class name (empty states
+        dropped)."""
+        out = {}
+        for c in self.callbacks:
+            state = c.state_dict()
+            if state:
+                out[type(c).__name__] = state
+        return out
 
 
 class TrainingMonitor(Callback):
@@ -248,6 +275,13 @@ class EarlyStopping(Callback):
         self.best = None
         self.since_best = 0
         self._break = False
+        resumed = self._resume_state()
+        if resumed:
+            self.best = resumed.get("best")
+            self.since_best = int(resumed.get("since_best", 0))
+
+    def state_dict(self):
+        return {"best": self.best, "since_best": self.since_best}
 
     def on_epoch_end(self, *a, **kw):
         if self.validation_datagen is not None or self.meta_valid is not None:
@@ -300,6 +334,18 @@ class ModelCheckpoint(Callback):
         self._dirty = False
         self._last_write_epoch = None
         os.makedirs(self.checkpoint_dir, exist_ok=True)
+        resumed = self._resume_state()
+        if resumed:
+            # best score survives the kill; the best WEIGHTS live in
+            # best.msgpack on disk (trainer.fit reloads it at train end), so
+            # only an actually-improving epoch overwrites them
+            self.best = resumed.get("best")
+            lw = resumed.get("last_write_epoch")
+            self._last_write_epoch = None if lw is None else int(lw)
+
+    def state_dict(self):
+        return {"best": self.best,
+                "last_write_epoch": self._last_write_epoch}
 
     def on_epoch_end(self, *a, **kw):
         if self.epoch_every and self.epoch_id % self.epoch_every == 0:
@@ -425,21 +471,49 @@ class ResumeCheckpoint(Callback):
     def last_path(self):
         return os.path.join(self.checkpoint_dir, "last.msgpack")
 
+    @property
+    def aux_path(self):
+        """Epoch schedule + callback states (JSON sidecar next to the
+        msgpack): a run killed at epoch k resumes the SCHEDULE at k+1 — it
+        does not train `epochs` more — and early-stop/best-checkpoint
+        accounting survives the kill."""
+        return self.last_path + ".aux.json"
+
     def on_train_begin(self, *a, **kw):
-        super().on_train_begin(*a, **kw)
+        # publish resume_info BEFORE super() so even this callback's own
+        # epoch counter picks it up; this callback is first in the
+        # CallbackList, so every sibling's on_train_begin sees it too
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         if os.path.exists(self.last_path):
             from mapping_tpu.train.checkpoint import load_state
 
             self.trainer.state = load_state(self.trainer.state, self.last_path)
-            logger.info("resumed from %s at step %d", self.last_path,
-                        int(np.asarray(self.trainer.state.step)))
+            info = {}
+            if os.path.exists(self.aux_path):
+                with open(self.aux_path) as f:
+                    aux = json.load(f)
+                info = {"next_epoch": int(aux.get("epoch_id", -1)) + 1,
+                        "callbacks": aux.get("callbacks", {})}
+            self.trainer.resume_info = info
+            logger.info(
+                "resumed from %s at step %d (next epoch %d)", self.last_path,
+                int(np.asarray(self.trainer.state.step)),
+                info.get("next_epoch", 0))
+        super().on_train_begin(*a, **kw)
 
     def on_epoch_end(self, *a, **kw):
         if self.epoch_every and self.epoch_id % self.epoch_every == 0:
             from mapping_tpu.train.checkpoint import save_state
 
             save_state(self.trainer.state, self.last_path)
+            aux = {"epoch_id": self.epoch_id}
+            callbacks = getattr(self.trainer, "_callbacks", None)
+            if callbacks is not None:
+                aux["callbacks"] = callbacks.state_dicts()
+            tmp = self.aux_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(aux, f)
+            os.replace(tmp, self.aux_path)
         super().on_epoch_end(*a, **kw)
 
 
@@ -529,7 +603,13 @@ def default_unet_callbacks(callbacks_config) -> CallbackList:
     validate_with_map = cc.get("validate_with_map", False)
     validation_cls = (ValidationMonitorSegmentation if validate_with_map
                       else ValidationMonitor)
-    callbacks = [
+    callbacks = []
+    if cc.get("resume", True) and cc.get("checkpoint_dir"):
+        # FIRST: its on_train_begin publishes trainer.resume_info which every
+        # later callback's on_train_begin consumes
+        callbacks.append(ResumeCheckpoint(
+            cc["checkpoint_dir"], epoch_every=cc.get("resume_every", 5)))
+    callbacks += [
         ExperimentTiming(),
         TrainingMonitor(),
         validation_cls(**cc),
@@ -541,9 +621,6 @@ def default_unet_callbacks(callbacks_config) -> CallbackList:
             os.path.dirname(os.path.dirname(cc["checkpoint_dir"])),
             "metrics.jsonl")) if cc.get("checkpoint_dir") else None),
     ]
-    if cc.get("resume", True) and cc.get("checkpoint_dir"):
-        callbacks.append(ResumeCheckpoint(
-            cc["checkpoint_dir"], epoch_every=cc.get("resume_every", 5)))
     if cc.get("profile_trace_dir"):
         callbacks.append(ProfilerTrace(cc["profile_trace_dir"]))
     if cc.get("image_monitor_dir"):
