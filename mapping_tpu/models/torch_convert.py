@@ -45,16 +45,23 @@ def strip_module_prefix(state: Mapping[str, "np.ndarray"]) -> Dict[str, "np.ndar
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch .pth/.pt state_dict or a .npz into {name: ndarray}."""
+    """Load a torch .pth/.pt state_dict or a .npz into {name: ndarray}.
+
+    Accepts the file shapes real reference checkpoints come in
+    (src/steps/pytorch/utils.py:67-75): a plain state_dict, a
+    {'state_dict': ...} wrapper, and 'module.'-prefixed keys from
+    nn.DataParallel-wrapped training (src/models.py:65).
+    """
     if path.endswith(".npz"):
         with np.load(path) as f:
-            return {k: f[k] for k in f.files}
+            return strip_module_prefix({k: f[k] for k in f.files})
     import torch  # CPU torch is available in this image
 
     state = torch.load(path, map_location="cpu")
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
-    return {k: v.detach().cpu().numpy() for k, v in state.items()}
+    return strip_module_prefix(
+        {k: v.detach().cpu().numpy() for k, v in state.items()})
 
 
 def convert_resnet_encoder(
