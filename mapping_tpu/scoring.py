@@ -132,16 +132,35 @@ def _gt_iou_matrix(layer, annotations):
     if not annotations:
         return None
     h, w = layer.shape
+    n = int(layer.max())
+    if n == 0:
+        return None
     gt_rles = []
     for ann in annotations:
         seg = ann["segmentation"]
         gt_rles.append(seg if isinstance(seg, dict)
                        else rle_ops.from_py_objects(seg, h, w)[0])
-    dt_rles = [rle_ops.encode((layer == i).astype(np.uint8))
-               for i in range(1, int(layer.max()) + 1)]
-    if not dt_rles:
-        return None
+    dt_rles = _detection_rles(layer, n, h, w)
     return rle_ops.iou(dt_rles, gt_rles, [0] * len(gt_rles))
+
+
+def _detection_rles(layer, n, h, w):
+    """All detection RLEs of a labeled map in ONE pass over the pixels
+    (cpp/rle.cpp rle_instances) instead of n× `layer == i` scans + encodes —
+    the same loop the annotation writer already avoids
+    (infer/annotations.py:60); on the scoring train path this runs per layer
+    x 19 layers x 10k sampled images."""
+    try:
+        from mapping_tpu.utils import native
+
+        if native.available():
+            packed = native.rle_instances(np.ascontiguousarray(layer), n)
+            return [{"size": [h, w], "counts": counts}
+                    for counts, _ in packed]
+    except Exception:  # pragma: no cover - toolchain unavailable
+        pass
+    return [rle_ops.encode((layer == i).astype(np.uint8))
+            for i in range(1, n + 1)]
 
 
 def features_from_tensor(feature_tensor, labels, annotations=None,
@@ -186,10 +205,13 @@ def features_from_tensor(feature_tensor, labels, annotations=None,
         block = feature_tensor[layer_nr, :n]
         df = pd.DataFrame(block, columns=list(FEATURE_COLUMNS))
         df.insert(0, "threshold", round(float(thresholds[layer_nr]), 2))
-        iou = (iou_matrix.max(axis=1)[:n]
+        # explicit float column, NaN where no GT exists: downstream
+        # `df[df["iou"].notna()]` behaves identically and the frame stays
+        # homogeneous (a mixed object column was fragile)
+        iou = (np.asarray(iou_matrix.max(axis=1)[:n], dtype=np.float64)
                if iou_matrix is not None and iou_matrix.size else
-               [None] * n)
-        df.insert(0, "iou", np.asarray(iou, dtype=object) if n else None)
+               np.full(n, np.nan))
+        df.insert(0, "iou", iou)
         df["area"] = df["area"].astype(int)
         df["bbox_area"] = df["bbox_area"].astype(int)
         df["contour_length"] = df["contour_length"].astype(int)

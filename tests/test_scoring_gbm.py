@@ -88,7 +88,9 @@ def test_features_from_tensor_matches_host_loop():
             if col == "iou":
                 for gv, rv in zip(g[col], r[col]):
                     if rv is None:
-                        assert gv is None
+                        # from_tensor emits a homogeneous float column:
+                        # no-GT instances carry NaN instead of None
+                        assert gv is None or np.isnan(gv)
                     else:
                         np.testing.assert_allclose(float(gv), float(rv),
                                                    rtol=1e-6)
