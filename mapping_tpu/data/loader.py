@@ -34,6 +34,14 @@ from mapping_tpu.data import augment as A
 # ---------------------------------------------------------------------------
 
 def load_image(path) -> np.ndarray:
+    # native libjpeg/libpng fast path (cpp/decode.cpp): no Python objects in
+    # the decode, GIL released for the whole call — the decode threads then
+    # actually scale with host cores. Exact-output cases only; PIL otherwise.
+    from mapping_tpu.utils import native_decode
+
+    img = native_decode.decode_rgb(path)
+    if img is not None:
+        return img
     from PIL import Image
 
     with Image.open(path) as img:
@@ -47,10 +55,17 @@ def load_target(mask_path) -> np.ndarray:
     dataset contract (src/loaders.py:140-150).
     """
     import joblib
-    from PIL import Image
 
-    with Image.open(mask_path) as m:
-        mask = np.asarray(m.convert("L"), dtype=np.float32)
+    from mapping_tpu.utils import native_decode
+
+    mask_u8 = native_decode.decode_gray(mask_path)
+    if mask_u8 is not None:
+        mask = mask_u8.astype(np.float32)
+    else:
+        from PIL import Image
+
+        with Image.open(mask_path) as m:
+            mask = np.asarray(m.convert("L"), dtype=np.float32)
     distance_path = os.path.splitext(mask_path.replace("/masks/", "/distances/"))[0]
     size_path = distance_path.replace("/distances/", "/sizes/")
     if os.path.exists(distance_path):

@@ -1,0 +1,85 @@
+"""Native libjpeg/libpng decode (cpp/decode.cpp) must match PIL byte-for-byte
+on the formats it claims (RGB JPEG, gray/RGB PNG) and decline the rest."""
+
+import numpy as np
+import pytest
+
+from mapping_tpu.utils import native_decode
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _built():
+    if not native_decode.build():
+        pytest.skip("native decode toolchain unavailable")
+
+
+def _pil_rgb(path):
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+def test_png_gray_exact(tmp_path):
+    from imageio import imwrite
+
+    rng = np.random.RandomState(0)
+    mask = rng.randint(0, 3, (40, 50)).astype(np.uint8)
+    p = str(tmp_path / "mask.png")
+    imwrite(p, mask)
+    got = native_decode.decode_gray(p)
+    assert got is not None
+    np.testing.assert_array_equal(got, mask)
+
+
+def test_png_rgb_exact(tmp_path):
+    from imageio import imwrite
+
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (30, 20, 3)).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    imwrite(p, img)
+    got = native_decode.decode_rgb(p)
+    assert got is not None
+    np.testing.assert_array_equal(got, img)
+
+
+def test_jpeg_rgb_matches_pil(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 256, (64, 48, 3)).astype(np.uint8)
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(img).save(p, quality=90)
+    got = native_decode.decode_rgb(p)
+    assert got is not None
+    want = _pil_rgb(p)
+    # both decode through libjpeg with the default ISLOW IDCT: identical
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rgba_png_declined(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (16, 16, 4)).astype(np.uint8)
+    p = str(tmp_path / "rgba.png")
+    Image.fromarray(img, "RGBA").save(p)
+    # alpha compositing rounds differently across codecs -> PIL handles it
+    assert native_decode.decode_rgb(p) is None
+
+
+def test_loader_uses_native_path(tmp_path):
+    from imageio import imwrite
+
+    from mapping_tpu.data.loader import load_image
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    imwrite(p, img)
+    np.testing.assert_array_equal(load_image(p), img)
+
+
+def test_missing_file_declined():
+    assert native_decode.decode_rgb("/nonexistent/x.jpg") is None
