@@ -118,9 +118,12 @@ class FusedServe:
     def _body(self, max_instances):
         def body(params, images):
             probs = self._probs(params, images)
-            return fused_postprocess(
+            outs = fused_postprocess(
                 probs, max_instances=max_instances,
                 compute_features=self._compute_features, **self._post)
+            # labels are the dominant D2H (B, L, th, tw); instance ids are
+            # bounded by MAX_INSTANCES_CEILING=4096, so int16 halves the pull
+            return (outs[0].astype(jnp.int16),) + tuple(outs[1:])
 
         return body
 
@@ -175,9 +178,10 @@ class FusedServe:
             if probs.shape[1] != th:
                 probs = jax.image.resize(probs, (b, th, tw, c), "linear")
             probs = jax.lax.with_sharding_constraint(probs, replicated)
-            return fused_postprocess(
+            outs = fused_postprocess(
                 probs, max_instances=max_instances,
                 compute_features=self._compute_features, **self._post)
+            return (outs[0].astype(jnp.int16),) + tuple(outs[1:])
 
         return jax.jit(run)
 
