@@ -213,6 +213,24 @@ class ValidationMonitorSegmentation(ValidationMonitor):
         self.data_dir = data_dir
         self.validate_with_map = validate_with_map
         self.small_annotations_size = small_annotations_size
+        self._serve = None
+
+    def _serve_program(self):
+        """One fused forward+postprocess dispatch per val batch (the same
+        FusedServe the pipelines serve with); params are read live so the
+        program follows training without recompiling."""
+        if self._serve is None:
+            from mapping_tpu.constants import CATEGORY_IDS
+            from mapping_tpu.infer.postprocess import active_layers_for
+            from mapping_tpu.infer.serving import FusedServe
+
+            probs_fn, get_params = self.trainer.probs_apply_fn()
+            self._serve = FusedServe(
+                probs_fn, get_params, target_size=(300, 300),
+                category_layers=(1, 1),
+                active_layers=active_layers_for(CATEGORY_IDS, (1, 1)),
+                mesh=self.trainer.mesh)
+        return self._serve
 
     def get_validation_loss(self):
         if not self.validate_with_map or self.meta_valid is None:
@@ -228,22 +246,23 @@ class ValidationMonitorSegmentation(ValidationMonitor):
 
         from mapping_tpu.constants import CATEGORY_IDS
         from mapping_tpu.eval import coco_evaluation
-        from mapping_tpu.infer import create_annotations, postprocess_probabilities
-        from mapping_tpu.infer.postprocess import active_layers_for
+        from mapping_tpu.infer import create_annotations
 
         gt_path = os.path.join(self.data_dir, "val", "annotation.json")
         image_ids = list(self.meta_valid["ImageId"].values)
+        serve = self._serve_program()
         annotations = []
         idx = 0
-        for probs in self.trainer.predict_probs_datagen(self.validation_datagen):
-            probs = np.asarray(probs)
-            labels, scores, _ = postprocess_probabilities(
-                probs, target_size=(300, 300), category_layers=(1, 1),
-                active_layers=active_layers_for(CATEGORY_IDS, (1, 1)))
-            batch_ids = image_ids[idx: idx + probs.shape[0]]
-            idx += probs.shape[0]
+        flow, steps = self.validation_datagen
+        for batch_id, batch in enumerate(flow):
+            images = batch["image"] if isinstance(batch, dict) else batch
+            labels, scores, _ = serve(images)
+            batch_ids = image_ids[idx: idx + labels.shape[0]]
+            idx += labels.shape[0]
             annotations.extend(create_annotations(
                 batch_ids, labels, scores, CATEGORY_IDS, (1, 1)))
+            if batch_id + 1 >= steps:
+                break
         with tempfile.NamedTemporaryFile("w", suffix=".json",
                                          delete=False) as f:
             json.dump(annotations, f)
