@@ -251,15 +251,29 @@ class SegmentationLoader:
         bs = self.batch_size_train
         steps = -(-n // bs)
         loader = self
+        #: (epoch_prefetcher) started at the END of the previous epoch so the
+        # next epoch's first batches decode while epoch-end callbacks
+        # (validation AP, checkpoint writes) run — without it every epoch
+        # starts with a decode stall (reference relied on persistent
+        # DataLoader workers for the same effect, neptune.yaml num_workers)
+        state = {"next": None}
+
+        def start_prefetch():
+            order = loader._np_rng.permutation(n)
+
+            def make_batch(i):
+                return loader._assemble(X, y, order[i * bs:(i + 1) * bs])
+
+            return _Prefetcher(make_batch, steps)
 
         class TrainFlow:
             def __iter__(self):
-                order = loader._np_rng.permutation(n)
-
-                def make_batch(i):
-                    return loader._assemble(X, y, order[i * bs:(i + 1) * bs])
-
-                for image_b, target_b in _Prefetcher(make_batch, steps):
+                prefetcher = state["next"] or start_prefetch()
+                state["next"] = None
+                for batch_id, (image_b, target_b) in enumerate(prefetcher):
+                    if batch_id + 1 == steps:
+                        # last host batch decoded: kick off the next epoch
+                        state["next"] = start_prefetch()
                     rng = loader._next_rng()
                     if loader.mode == "resize":
                         yield _train_batch_resize(
