@@ -225,3 +225,12 @@ def test_pipeline_serves_through_mesh(tmp_path):
     ap_tta, _ = mesh_mgr.evaluate("unet_tta", dev_mode=False,
                                   chunk_size=None)
     assert ap_tta > 0.2
+
+    # spatial serving behind the config switch: image HEIGHT shards over the
+    # mesh (GSPMD halos in the convs), gather after per-shard resize
+    sp_mgr = PipelineManager(config_path, overrides={"spatial_serving": 1})
+    sp_pipeline = PIPELINES["unet"]["inference"](sp_mgr.config)
+    sp_serve = sp_pipeline.serve_program(return_features=False)
+    assert sp_serve._spatial and sp_serve._mesh is not None
+    ap_sp, _ = sp_mgr.evaluate("unet", dev_mode=False, chunk_size=None)
+    assert ap_sp == ap_single
