@@ -148,10 +148,13 @@ class _Prefetcher:
     def __init__(self, make_batch, n_batches, depth=2):
         self.q = queue.Queue(maxsize=depth)
         self.n = n_batches
+        self._cancelled = False
 
         def run():
             try:
                 for i in range(n_batches):
+                    if self._cancelled:
+                        return
                     self.q.put(("ok", make_batch(i)))
             except Exception as e:  # surface decode errors to the consumer
                 self.q.put(("err", e))
@@ -165,6 +168,16 @@ class _Prefetcher:
             if kind == "err":
                 raise item
             yield item
+
+    def cancel(self):
+        """Unblock and retire the worker; drop the decoded batches. Used
+        when a speculative next-epoch prefetch turns out to be the last."""
+        self._cancelled = True
+        while self.thread.is_alive():
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                self.thread.join(timeout=0.05)
 
 
 class SegmentationLoader:
@@ -286,6 +299,14 @@ class SegmentationLoader:
 
             def __len__(self):
                 return steps
+
+            def close(self):
+                """Retire a speculative next-epoch prefetch (called by the
+                trainer when the schedule ends / early-stops — otherwise its
+                worker thread would sit blocked holding decoded batches)."""
+                if state["next"] is not None:
+                    state["next"].cancel()
+                    state["next"] = None
 
         return TrainFlow(), steps
 

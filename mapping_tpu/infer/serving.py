@@ -121,9 +121,7 @@ class FusedServe:
             outs = fused_postprocess(
                 probs, max_instances=max_instances,
                 compute_features=self._compute_features, **self._post)
-            # labels are the dominant D2H (B, L, th, tw); instance ids are
-            # bounded by MAX_INSTANCES_CEILING=4096, so int16 halves the pull
-            return (outs[0].astype(jnp.int16),) + tuple(outs[1:])
+            return (_labels_i16(outs[0]),) + tuple(outs[1:])
 
         return body
 
@@ -181,7 +179,7 @@ class FusedServe:
             outs = fused_postprocess(
                 probs, max_instances=max_instances,
                 compute_features=self._compute_features, **self._post)
-            return (outs[0].astype(jnp.int16),) + tuple(outs[1:])
+            return (_labels_i16(outs[0]),) + tuple(outs[1:])
 
         return jax.jit(run)
 
@@ -219,6 +217,17 @@ class FusedServe:
     @property
     def compiled_keys(self):
         return sorted(self._programs)
+
+
+def _labels_i16(labels):
+    """Labels are the dominant D2H of the serving program (B, L, th, tw);
+    int16 halves the pull. CCL ids are UNCAPPED consecutive integers, so
+    clamp before narrowing: a pathological map with >32767 components would
+    otherwise wrap negative, break the overflow-escalation detection
+    (counts = labels.max()), and feed negative instance counts downstream.
+    Clamped ids stay above every escalation pad (ceiling 4096), so detection
+    and the documented tail-drop semantics are unchanged."""
+    return jnp.minimum(labels, jnp.int32(32767)).astype(jnp.int16)
 
 
 def _merge_overflow(outs, retried, overflow):

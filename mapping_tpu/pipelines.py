@@ -80,9 +80,7 @@ class UNetPipeline:
             loss_name=loss_name,
             input_size=config.loader.size,
             seed=SEED,
-            mesh="auto" if (config.params.get("data_parallel", 0)
-                            or config.params.get("spatial_serving", 0))
-            else None,
+            mesh="auto" if config.params.get("data_parallel", 0) else None,
             remat=bool(config.params.get("remat", 0)),
             pretrained_weights=config.unet.get("pretrained_weights", ""),
         )
@@ -160,6 +158,19 @@ class UNetPipeline:
         specs = (tta_specs(**dict(self.config.tta_generator))
                  if self.tta else None)
         spatial = bool(self.config.params.get("spatial_serving", 0))
+        # spatial serving is an INFERENCE-only mesh: built here, never handed
+        # to the trainer (giving the trainer a mesh would silently shard
+        # training batches the user didn't ask to shard)
+        mesh = self.trainer.mesh
+        if spatial and mesh is None:
+            import jax
+
+            from mapping_tpu.parallel import make_mesh
+
+            if len(jax.devices()) < 2:
+                raise ValueError(
+                    "spatial_serving: 1 needs more than one device")
+            mesh = make_mesh()
         serve = FusedServe(
             probs_fn, get_params,
             target_size=tuple(post.target_size),
@@ -173,7 +184,7 @@ class UNetPipeline:
             tta_specs=specs,
             tta_method=self.config.tta_aggregator.method,
             compute_features=return_features,
-            mesh=self.trainer.mesh,
+            mesh=mesh,
             spatial=spatial,
         )
         self._serve_cache[key] = serve

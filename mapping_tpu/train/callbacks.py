@@ -481,10 +481,16 @@ class ResumeCheckpoint(Callback):
     dominated epoch wall time on the tunnel-attached chip, so the default
     saves every 5 epochs (config: resume_every)."""
 
-    def __init__(self, checkpoint_dir, epoch_every=5, **_):
+    def __init__(self, checkpoint_dir, epoch_every=5, defer_save=False, **_):
         super().__init__()
         self.checkpoint_dir = checkpoint_dir
         self.epoch_every = epoch_every
+        # in the default list this callback runs FIRST (its on_train_begin
+        # must publish resume_info before siblings reset) — but saving from
+        # first position would snapshot sibling states BEFORE they process
+        # this epoch's validation result (one epoch stale). defer_save=True
+        # hands the save to a _ResumeSaver placed LAST in the list.
+        self.defer_save = defer_save
 
     @property
     def last_path(self):
@@ -521,18 +527,37 @@ class ResumeCheckpoint(Callback):
         super().on_train_begin(*a, **kw)
 
     def on_epoch_end(self, *a, **kw):
-        if self.epoch_every and self.epoch_id % self.epoch_every == 0:
-            from mapping_tpu.train.checkpoint import save_state
+        if not self.defer_save:
+            self.maybe_save(self.epoch_id)
+        super().on_epoch_end(*a, **kw)
 
-            save_state(self.trainer.state, self.last_path)
-            aux = {"epoch_id": self.epoch_id}
-            callbacks = getattr(self.trainer, "_callbacks", None)
-            if callbacks is not None:
-                aux["callbacks"] = callbacks.state_dicts()
-            tmp = self.aux_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(aux, f)
-            os.replace(tmp, self.aux_path)
+    def maybe_save(self, epoch_id):
+        if not (self.epoch_every and epoch_id % self.epoch_every == 0):
+            return
+        from mapping_tpu.train.checkpoint import save_state
+
+        save_state(self.trainer.state, self.last_path)
+        aux = {"epoch_id": epoch_id}
+        callbacks = getattr(self.trainer, "_callbacks", None)
+        if callbacks is not None:
+            aux["callbacks"] = callbacks.state_dicts()
+        tmp = self.aux_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(aux, f)
+        os.replace(tmp, self.aux_path)
+
+
+class _ResumeSaver(Callback):
+    """Tail of the default callback list: performs the ResumeCheckpoint
+    save AFTER every sibling processed the epoch, so the persisted
+    early-stop/best-checkpoint states reflect THIS epoch's validation."""
+
+    def __init__(self, owner: "ResumeCheckpoint"):
+        super().__init__()
+        self.owner = owner
+
+    def on_epoch_end(self, *a, **kw):
+        self.owner.maybe_save(self.epoch_id)
         super().on_epoch_end(*a, **kw)
 
 
@@ -623,11 +648,15 @@ def default_unet_callbacks(callbacks_config) -> CallbackList:
     validation_cls = (ValidationMonitorSegmentation if validate_with_map
                       else ValidationMonitor)
     callbacks = []
+    resume_cb = None
     if cc.get("resume", True) and cc.get("checkpoint_dir"):
         # FIRST: its on_train_begin publishes trainer.resume_info which every
-        # later callback's on_train_begin consumes
-        callbacks.append(ResumeCheckpoint(
-            cc["checkpoint_dir"], epoch_every=cc.get("resume_every", 5)))
+        # later callback's on_train_begin consumes; the SAVE runs last (see
+        # _ResumeSaver appended below)
+        resume_cb = ResumeCheckpoint(
+            cc["checkpoint_dir"], epoch_every=cc.get("resume_every", 5),
+            defer_save=True)
+        callbacks.append(resume_cb)
     callbacks += [
         ExperimentTiming(),
         TrainingMonitor(),
@@ -645,4 +674,6 @@ def default_unet_callbacks(callbacks_config) -> CallbackList:
     if cc.get("image_monitor_dir"):
         callbacks.append(PredictionImageMonitor(cc["image_monitor_dir"],
                                                 image_nr=cc.get("image_nr", 4)))
+    if resume_cb is not None:
+        callbacks.append(_ResumeSaver(resume_cb))
     return CallbackList(callbacks)

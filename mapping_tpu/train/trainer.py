@@ -232,6 +232,8 @@ class UNetTrainer:
             if callbacks.training_break():
                 logger.info("early stopping at epoch %d", epoch_id)
                 break
+        if hasattr(flow, "close"):
+            flow.close()  # retire the speculative next-epoch decode prefetch
         callbacks.on_train_end()
         # hand back the best weights if a checkpoint was kept (weights-only,
         # like the reference's Model.save copying the best state_dict,

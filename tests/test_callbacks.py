@@ -102,6 +102,30 @@ def test_resume_checkpoint_roundtrip(tmp_path):
     cl.on_train_begin()  # loads last.msgpack into trainer2.state
 
 
+def test_resume_saver_snapshots_after_siblings(tmp_path):
+    """The persisted callback states must reflect THIS epoch's validation:
+    ResumeCheckpoint publishes resume_info first but the save runs LAST
+    (_ResumeSaver), else the snapshot is one epoch stale."""
+    import json
+
+    from mapping_tpu.train.callbacks import _ResumeSaver
+
+    trainer = FakeTrainer([3.0, 1.0])
+    rc = ResumeCheckpoint(str(tmp_path), epoch_every=1, defer_save=True)
+    ck = ModelCheckpoint(str(tmp_path), minimize=True)
+    es = EarlyStopping(patience=5, minimize=True)
+    cl = CallbackList([rc, ValidationMonitor(), ck, es, _ResumeSaver(rc)])
+    trainer._callbacks = cl
+    _run_epochs(cl, trainer, 2)
+    with open(rc.aux_path) as f:
+        aux = json.load(f)
+    assert aux["epoch_id"] == 1
+    # epoch 1's val (1.0) must be in the snapshot — the stale-order bug
+    # would persist epoch 0's 3.0
+    assert aux["callbacks"]["ModelCheckpoint"]["best"] == 1.0
+    assert aux["callbacks"]["EarlyStopping"]["best"] == 1.0
+
+
 def test_metric_sink_jsonl(tmp_path):
     sink = MetricSink(str(tmp_path / "m.jsonl"))
     sink.send("loss", 1, 0.5)

@@ -167,6 +167,29 @@ def test_spatial_gather_is_target_size_scale():
         "\n".join(bad[:5])
 
 
+def test_labels_int16_clamped_not_wrapped():
+    """>32767 CCL components must clamp (positive), not wrap negative —
+    wrapping would defeat overflow detection and feed negative instance
+    counts downstream. A 256x256 checkerboard has 32768 components."""
+    h = 256
+    img = np.full((1, h, h, 3), -1.0, np.float32)
+    # (i+j)-even checkerboard: 32768 pixels, diagonal-only contact = 32768
+    # separate components under the 4-connectivity CCL
+    checker = (np.add.outer(np.arange(h), np.arange(h)) % 2) == 0
+    img[0, :, :, 0] = np.where(checker, 1.0, -1.0)
+    from mapping_tpu.infer.postprocess import MAX_INSTANCES_CEILING
+
+    serve = FusedServe(
+        _identity_probs_fn, _params,
+        target_size=(h, h), category_layers=(1, 1), active_layers=(0, 1),
+        erode_size=0, dilate_size=0,
+        max_instances=MAX_INSTANCES_CEILING)  # at ceiling: no escalation
+    labels, scores, areas = serve(jnp.asarray(img))
+    assert labels.dtype == np.int16
+    assert labels.max() == 32767  # clamped, still > every pad
+    assert labels.min() >= 0
+
+
 @pytest.mark.slow
 def test_pipeline_serves_through_mesh(tmp_path):
     """The PRODUCT pipelines (not the raw constructors) route through the
