@@ -184,12 +184,28 @@ class FusedServe:
         return jax.jit(run)
 
     # -------------------------------------------------------------- call
-    def __call__(self, images):
+    def dispatch(self, images):
+        """Enqueue the fused program for one batch WITHOUT syncing: stages
+        the batch H2D, reads current params, and returns an opaque handle of
+        device arrays (JAX async dispatch — the chip starts immediately).
+        Pair with collect(); a serving loop that dispatches batch k+1 before
+        collecting batch k overlaps host decode + D2H of k with device
+        compute of k+1 (the reference overlapped via DataLoader worker
+        processes, src/pytorch_utils.py num_workers; here one in-flight
+        program suffices because postprocessing is on-device)."""
         images = jnp.asarray(images)
         params = self._get_params()
+        prog = self._program(self._base_max_instances,
+                             use_mesh=self._mesh is not None)
+        return prog(params, images), params, images
+
+    def collect(self, handle):
+        """Sync a dispatch() handle: pull outputs to host and run the
+        overflow-escalation protocol (which may re-dispatch the dense
+        images single-device with a wider instance pad)."""
+        outs_d, params, images = handle
         max_inst = self._base_max_instances
-        prog = self._program(max_inst, use_mesh=self._mesh is not None)
-        outs = [np.asarray(o) for o in prog(params, images)]
+        outs = [np.asarray(o) for o in outs_d]
         # overflow escalation: re-run just the dense images, single-device,
         # with a doubled instance pad (rare; each pad compiles once)
         while True:
@@ -212,6 +228,9 @@ class FusedServe:
             retried = [np.asarray(o)
                        for o in retry(params, images[overflow])]
             outs = _merge_overflow(outs, retried, overflow)
+
+    def __call__(self, images):
+        return self.collect(self.dispatch(images))
 
     # convenient for tests / introspection
     @property

@@ -215,9 +215,9 @@ class UNetPipeline:
         n_images = getattr(flow, "n_images", None)
         serve = self.serve_program(return_features)
         emitted = 0
-        for batch_id, batch in enumerate(flow):
-            images = batch["image"] if isinstance(batch, dict) else batch
-            outs = serve(images)
+
+        def rows(outs):
+            nonlocal emitted
             labels_b, scores_b = outs[0], outs[1]
             feats_b = outs[3] if return_features else None
             for i in range(labels_b.shape[0]):
@@ -229,8 +229,23 @@ class UNetPipeline:
                            for l in range(lab.shape[0])]
                 yield ((lab, trimmed),
                        feats_b[i] if return_features else None)
+
+        # one batch in flight: dispatch k+1 (async) BEFORE collecting k, so
+        # the chip computes batch k+1 while the host decodes the next batch
+        # and pulls/handles batch k's labels
+        pending = None
+        for batch_id, batch in enumerate(flow):
+            images = batch["image"] if isinstance(batch, dict) else batch
+            handle = serve.dispatch(images)
+            if pending is not None:
+                yield from rows(serve.collect(pending))
+                if n_images is not None and emitted >= n_images:
+                    return
+            pending = handle
             if batch_id + 1 >= steps:
                 break
+        if pending is not None:
+            yield from rows(serve.collect(pending))
 
     def transform_stream(self, data):
         """True streaming inference: {'y_pred': <per-image generator>}.

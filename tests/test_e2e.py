@@ -142,15 +142,22 @@ def test_transform_stream_is_lazy(workspace):
     meta_val = meta[meta["is_valid"] == 1]
 
     pipeline = pl.PIPELINES["unet"]["inference"](manager.config)
-    # count fused-serve dispatches (each = one forward+postprocess batch)
+    # count fused-serve collects (each = one postprocessed batch pulled to
+    # host). The serving loop keeps ONE batch in flight (dispatch k+1 before
+    # collect k) — that async lookahead is bounded pipelining, not eager
+    # materialization; laziness is about host-side pulls.
     serve = pipeline.serve_program(return_features=False)
     calls = {"n": 0}
 
-    def counting(images):
-        calls["n"] += 1
-        return serve(images)
+    class Counting:
+        def dispatch(self, images):
+            return serve.dispatch(images)
 
-    pipeline._serve_cache[False] = counting
+        def collect(self, handle):
+            calls["n"] += 1
+            return serve.collect(handle)
+
+    pipeline._serve_cache[False] = Counting()
     data = {
         "input": {"meta": meta_val,
                   "target_sizes": [(300, 300)] * len(meta_val)},

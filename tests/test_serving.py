@@ -54,6 +54,21 @@ def test_fused_serve_matches_two_dispatch_path():
         np.testing.assert_array_equal(g, w)
 
 
+def test_fused_serve_pipelined_handles_in_flight():
+    """dispatch/collect with TWO handles in flight (the serving loop's
+    double-buffering) must equal the synchronous per-batch path — the
+    handle carries its own params/images snapshot, so overlapping batches
+    cannot cross-contaminate (incl. the overflow-retry inputs)."""
+    imgs_a, imgs_b = _random_images(seed=2), _random_images(seed=3)
+    serve = FusedServe(_identity_probs_fn, _params, **POST)
+    h_a = serve.dispatch(imgs_a)
+    h_b = serve.dispatch(imgs_b)  # in flight before a is collected
+    got_a, got_b = serve.collect(h_a), serve.collect(h_b)
+    for got, imgs in ((got_a, imgs_a), (got_b, imgs_b)):
+        for g, w in zip(got, _reference_outputs(imgs, **POST)):
+            np.testing.assert_array_equal(g, w)
+
+
 def test_fused_serve_features():
     images = _random_images(seed=1)
     serve = FusedServe(_identity_probs_fn, _params, compute_features=True,
