@@ -1,0 +1,325 @@
+"""Online serving daemon: microbatched, double-buffered FusedServe over HTTP.
+
+The reference framework stops at batch CLI prediction (predict_on_dir,
+reference main.py:52-64) — it has no online serving story. This daemon is
+the production-serving face of the same fused program the pipelines run
+(infer/serving.py FusedServe), built TPU-first:
+
+ - requests POST one image each (JPEG/PNG bytes or a .npy array); host
+   threads decode them (native libjpeg path where byte-exact);
+ - a microbatcher coalesces requests up to the pipeline's
+   `batch_size_inference` (waiting at most `max_wait_ms` after the first
+   request of a batch) and pads the ragged tail by repeating rows, so the
+   device sees ONE compiled program shape;
+ - batches are double-buffered through FusedServe.dispatch()/collect():
+   batch k+1 is dispatched before batch k's labels are pulled, so decode +
+   D2H overlap device compute exactly as in the offline pipelines;
+ - responses carry COCO result annotations (RLE counts, bbox, score) via
+   infer.annotations.labeled_to_annotations — the same bytes evaluate
+   writes to prediction.json.
+
+Endpoints:
+    POST /v1/predict       image bytes -> {"annotations": [...], ...}
+    GET  /v1/health        {"status": "ok", "batch_size": B, ...}
+    GET  /v1/stats         request/batch counters, mean batch occupancy
+
+Transport is stdlib http.server (ThreadingHTTPServer): no new dependencies,
+and the per-request work is one queue put + event wait — the threads never
+touch the device. Start via CLI: `python -m mapping_tpu.main serve -p unet`.
+"""
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mapping_tpu.infer.annotations import labeled_to_annotations
+from mapping_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+
+class _Pending:
+    """One in-flight request: decoded image in, annotations (or error) out."""
+
+    __slots__ = ("image", "image_id", "done", "annotations", "error")
+
+    def __init__(self, image, image_id=0):
+        self.image = image
+        self.image_id = image_id
+        self.done = threading.Event()
+        self.annotations = None
+        self.error = None
+
+
+class Microbatcher:
+    """Coalesce single-image requests into fixed-shape device batches.
+
+    serve: a FusedServe (dispatch/collect protocol). preprocess: maps a
+    stacked uint8 (B, H, W, 3) batch to the serve program's input (the
+    loader's `_infer_batch_resize` — resize + mean/std normalize on device).
+    Two worker threads connect through a depth-1 handle queue: the batcher
+    dispatches, the collector pulls — one batch always in flight.
+    """
+
+    def __init__(self, serve, preprocess, batch_size: int,
+                 category_ids: Sequence[Optional[int]],
+                 category_layers: Sequence[int],
+                 max_wait_ms: float = 5.0):
+        self._serve = serve
+        self._preprocess = preprocess
+        self._batch = int(batch_size)
+        self._cat_ids = list(category_ids)
+        self._cat_layers = list(category_layers)
+        self._max_wait = float(max_wait_ms) / 1000.0
+        self._requests = queue.Queue()
+        self._inflight = queue.Queue(maxsize=1)  # depth-1 = double buffer
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "images_padded": 0}
+        self._threads = [
+            threading.Thread(target=self._batch_loop, daemon=True,
+                             name="serve-batcher"),
+            threading.Thread(target=self._collect_loop, daemon=True,
+                             name="serve-collector"),
+        ]
+        for t in self._threads:
+            t.start()
+
+    # ------------------------------------------------------------- client
+    def submit(self, image: np.ndarray, timeout: Optional[float] = None,
+               image_id: int = 0):
+        """Blocking: enqueue one (H, W, 3) uint8 image, wait for its
+        annotations. Raises on worker-side failure."""
+        pending = _Pending(image, image_id)
+        self._requests.put(pending)
+        if not pending.done.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if pending.error is not None:
+            raise RuntimeError(pending.error)
+        return pending.annotations
+
+    def close(self):
+        self._stop.set()
+        # unblock the batcher's queue.get
+        self._requests.put(None)
+        for t in self._threads:
+            t.join(timeout=5)
+
+    # ------------------------------------------------------------ workers
+    def _take_batch(self):
+        """Up to batch_size requests; after the first arrives, wait at most
+        max_wait for stragglers (latency floor beats occupancy past that)."""
+        first = self._requests.get()
+        if first is None or self._stop.is_set():
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self._max_wait
+        while len(batch) < self._batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._requests.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            batch.append(nxt)
+        return batch
+
+    def _batch_loop(self):
+        while not self._stop.is_set():
+            batch = self._take_batch()
+            if not batch:
+                continue
+            try:
+                images = np.stack([p.image for p in batch])
+                pad = self._batch - len(batch)
+                if pad:
+                    # repeat the last row: one compiled shape per daemon
+                    images = np.concatenate(
+                        [images, np.repeat(images[-1:], pad, axis=0)])
+                    self.stats["images_padded"] += pad
+                handle = self._serve.dispatch(self._preprocess(images))
+                self._inflight.put((handle, batch))
+            except Exception as exc:  # noqa: BLE001 - report to callers
+                logger.exception("serve batcher failed")
+                for p in batch:
+                    p.error = repr(exc)
+                    p.done.set()
+        self._inflight.put(None)
+
+    def _collect_loop(self):
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            handle, batch = item
+            try:
+                outs = self._serve.collect(handle)
+                labels_b, scores_b = outs[0], outs[1]
+                for i, p in enumerate(batch):
+                    p.annotations = labeled_to_annotations(
+                        p.image_id, np.asarray(labels_b[i]),
+                        np.asarray(scores_b[i]),
+                        self._cat_ids, self._cat_layers)
+                    p.done.set()
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+            except Exception as exc:  # noqa: BLE001 - report to callers
+                logger.exception("serve collector failed")
+                for p in batch:
+                    p.error = repr(exc)
+                    p.done.set()
+
+
+def decode_request_image(body: bytes, content_type: str,
+                         target_hw) -> np.ndarray:
+    """Request bytes -> (H, W, 3) uint8 at the daemon's canonical raw shape.
+
+    .npy arrays pass through (shape-checked); image bytes decode via PIL and
+    are host-resized only when their size differs from the canonical one —
+    dataset-sized tiles take the no-resize path.
+    """
+    h, w = target_hw
+    if "npy" in content_type or body[:6] == b"\x93NUMPY":
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) array, got {arr.shape}")
+        arr = arr.astype(np.uint8)
+    else:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(body)) as img:
+            arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    if arr.shape[:2] != (h, w):
+        from PIL import Image
+
+        arr = np.asarray(
+            Image.fromarray(arr).resize((w, h), Image.BILINEAR),
+            dtype=np.uint8)
+    return arr
+
+
+def _make_handler(batcher: Microbatcher, target_hw, info: dict):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/health":
+                self._reply(200, {"status": "ok", **info})
+            elif self.path == "/v1/stats":
+                stats = dict(batcher.stats)
+                if stats["batches"]:
+                    stats["mean_batch_occupancy"] = round(
+                        stats["requests"] / stats["batches"], 2)
+                self._reply(200, stats)
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/v1/predict":
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                image = decode_request_image(
+                    body, self.headers.get("Content-Type", ""), target_hw)
+                image_id = int(self.headers.get("X-Image-Id", 0))
+                t0 = time.perf_counter()
+                annotations = batcher.submit(image, image_id=image_id)
+                self._reply(200, {
+                    "annotations": annotations,
+                    "latency_ms": round(
+                        (time.perf_counter() - t0) * 1000, 2),
+                })
+            except Exception as exc:  # noqa: BLE001 - HTTP boundary
+                self._reply(400, {"error": repr(exc)})
+
+        def log_message(self, fmt, *args):  # route through our logger
+            logger.debug("http: " + fmt, *args)
+
+    return Handler
+
+
+class ServingDaemon:
+    """HTTP server around a Microbatcher; see module docstring."""
+
+    def __init__(self, batcher: Microbatcher, target_hw, info: dict,
+                 host: str = "127.0.0.1", port: int = 8000):
+        self.batcher = batcher
+        handler = _make_handler(batcher, target_hw, info)
+        self.server = ThreadingHTTPServer((host, port), handler)
+        self.port = self.server.server_address[1]
+
+    def serve_forever(self):
+        logger.info("serving on http://%s:%d (POST /v1/predict)",
+                    self.server.server_address[0], self.port)
+        try:
+            self.server.serve_forever()
+        finally:
+            self.batcher.close()
+
+    def start_background(self):
+        t = threading.Thread(target=self.server.serve_forever, daemon=True,
+                             name="serve-http")
+        t.start()
+        return t
+
+    def shutdown(self):
+        self.server.shutdown()
+        self.server.server_close()
+        self.batcher.close()
+
+
+def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
+                         max_wait_ms=5.0):
+    """Build the daemon from a trained inference pipeline: loads the
+    checkpoint, builds the SAME FusedServe program `evaluate` runs, and the
+    loader's device preprocess (resize + normalize)."""
+    import os
+
+    import jax
+
+    from mapping_tpu.constants import CATEGORY_IDS
+    from mapping_tpu.data.loader import _infer_batch_resize
+
+    if not os.path.exists(pipeline.trainer_cache_path):
+        raise RuntimeError(
+            f"no trained model at {pipeline.trainer_cache_path}; train first")
+    if not getattr(pipeline, "_weights_loaded", False):
+        pipeline.trainer.load(pipeline.trainer_cache_path)
+        pipeline._weights_loaded = True
+    serve = pipeline.serve_program()
+    params = config.params
+    size = (int(params.image_h), int(params.image_w))
+    batch = int(params.batch_size_inference)
+
+    def preprocess(u8_batch):
+        return _infer_batch_resize(u8_batch, size)["image"]
+
+    batcher = Microbatcher(
+        serve, preprocess, batch,
+        category_ids=CATEGORY_IDS,
+        category_layers=pipeline.category_layers,
+        max_wait_ms=max_wait_ms)
+    # warm: compile the program before accepting traffic (first compile is
+    # tens of seconds via remote-compile; health checks pass once warm)
+    warm = np.zeros((batch, size[0], size[1], 3), np.uint8)
+    serve.collect(serve.dispatch(preprocess(warm)))
+    info = {"batch_size": batch, "image_hw": list(size),
+            "platform": jax.devices()[0].platform,
+            "pipeline": type(pipeline).__name__}
+    return ServingDaemon(batcher, size, info, host=host, port=port)

@@ -3,7 +3,8 @@
 Commands: prepare_masks, prepare_metadata, train, evaluate, predict_on_dir,
 train_evaluate, with flags -p/--pipeline_name, -d/--dev_mode,
 -c/--chunk_size, --dir_path, --prediction_path. Config comes from
-$CONFIG_PATH or --config.
+$CONFIG_PATH or --config. Beyond the reference surface: `serve` starts the
+online HTTP serving daemon (infer/daemon.py).
 
     python -m mapping_tpu.main train -p unet_weighted -d
 """
@@ -71,6 +72,25 @@ def predict_on_dir(manager, pipeline_name, dir_path, prediction_path,
     manager.predict_on_dir(pipeline_name, dir_path, prediction_path,
                            chunk_size)
     manager.finish_experiment()
+
+
+@main.command(name="serve")
+@click.option("-p", "--pipeline_name", default="unet")
+@click.option("--host", default="127.0.0.1")
+@click.option("--port", type=int, default=8000)
+@click.option("--max_wait_ms", type=float, default=5.0,
+              help="microbatch coalescing window after the first request")
+@click.pass_obj
+def serve(manager, pipeline_name, host, port, max_wait_ms):
+    """Online serving: microbatched fused inference over HTTP
+    (POST /v1/predict with JPEG/PNG/.npy bytes -> COCO annotations)."""
+    from mapping_tpu.infer.daemon import daemon_from_pipeline
+    from mapping_tpu.pipelines import PIPELINES
+
+    pipeline = PIPELINES[pipeline_name]["inference"](manager.config)
+    daemon = daemon_from_pipeline(pipeline, manager.config, host=host,
+                                  port=port, max_wait_ms=max_wait_ms)
+    daemon.serve_forever()
 
 
 @main.command(name="train_evaluate")

@@ -23,3 +23,11 @@ def test_command_flags():
     assert "--chunk_size" in out
     out = runner.invoke(main, ["predict_on_dir", "--help"]).output
     assert "--dir_path" in out and "--prediction_path" in out
+
+
+def test_serve_command():
+    runner = CliRunner()
+    result = runner.invoke(main, ["--help"])
+    assert "serve" in result.output
+    out = runner.invoke(main, ["serve", "--help"]).output
+    assert "--port" in out and "--max_wait_ms" in out and "--host" in out

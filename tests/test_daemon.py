@@ -1,0 +1,194 @@
+"""Online serving daemon (infer/daemon.py): microbatching, double-buffered
+dispatch, HTTP round-trip, and parity with the offline serve path."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_tpu.infer.annotations import labeled_to_annotations
+from mapping_tpu.infer.daemon import (Microbatcher, ServingDaemon,
+                                      decode_request_image)
+from mapping_tpu.infer.serving import FusedServe
+
+CAT_IDS = [None, 100]
+CAT_LAYERS = [1, 1]
+POST = dict(target_size=(48, 48), category_layers=(1, 1),
+            active_layers=(1,))
+
+
+def _probs_fn(params, images):
+    logit = images[..., 0] * params["scale"]
+    x = jnp.stack([-logit, logit], axis=-1)
+    return jax.nn.softmax(x, axis=-1)
+
+
+def _params():
+    return {"scale": jnp.float32(4.0)}
+
+
+def _images(n, h=64, w=64, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.rand(n, h // 8, w // 8, 3).astype(np.float32)
+    smooth = jax.image.resize(jnp.asarray(base), (n, h, w, 3), "linear")
+    return np.asarray(smooth * 255, np.uint8)
+
+
+def _preprocess(u8_batch):
+    return jnp.asarray(u8_batch, jnp.float32) / 255.0 * 2.0 - 1.0
+
+
+def _expected(img_u8, image_id=0):
+    serve = FusedServe(_probs_fn, _params, **POST)
+    outs = serve(_preprocess(img_u8[None]))
+    return labeled_to_annotations(image_id, np.asarray(outs[0][0]),
+                                  np.asarray(outs[1][0]),
+                                  CAT_IDS, CAT_LAYERS)
+
+
+def _assert_same_annotations(got, want):
+    """Segmentation/bbox/ids exact; scores to float tolerance (the daemon's
+    batch-4 program and the batch-1 oracle are different XLA compilations —
+    instance-mean reassociation can move the last ulp)."""
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["segmentation"] == w["segmentation"]
+        assert g["category_id"] == w["category_id"]
+        assert g["image_id"] == w["image_id"]
+        np.testing.assert_allclose(g["bbox"], w["bbox"])
+        np.testing.assert_allclose(g["score"], w["score"], rtol=1e-5)
+
+
+def _batcher(batch_size=4, max_wait_ms=30.0):
+    serve = FusedServe(_probs_fn, _params, **POST)
+    return Microbatcher(serve, _preprocess, batch_size,
+                        category_ids=CAT_IDS, category_layers=CAT_LAYERS,
+                        max_wait_ms=max_wait_ms)
+
+
+def test_single_request_matches_offline_path():
+    imgs = _images(1, seed=3)
+    b = _batcher()
+    try:
+        got = b.submit(imgs[0], timeout=60)
+    finally:
+        b.close()
+    _assert_same_annotations(got, _expected(imgs[0]))
+    assert len(got) >= 1 and got[0]["category_id"] == 100
+
+
+def test_concurrent_requests_coalesce_and_results_route_back():
+    """8 concurrent clients on a batch-4 daemon: every caller gets ITS
+    image's annotations (no cross-routing from the shared batch), and the
+    microbatcher forms >= 2 batches of mean occupancy > 1."""
+    imgs = _images(8, seed=5)
+    b = _batcher(batch_size=4, max_wait_ms=200.0)
+    results = [None] * len(imgs)
+
+    def call(i):
+        results[i] = b.submit(imgs[i], timeout=120)
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(imgs))]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        b.close()
+    for i in range(len(imgs)):
+        _assert_same_annotations(results[i], _expected(imgs[i]))
+    assert b.stats["requests"] == 8
+    assert b.stats["batches"] >= 2
+    assert b.stats["requests"] / b.stats["batches"] > 1.0
+
+
+def test_ragged_tail_pads_to_compiled_shape():
+    """3 requests on a batch-4 daemon: the pad row is repeated, ONE program
+    shape is compiled, and the padded row's output is dropped."""
+    imgs = _images(3, seed=7)
+    b = _batcher(batch_size=4, max_wait_ms=300.0)
+    results = [None] * 3
+
+    def call(i):
+        results[i] = b.submit(imgs[i], timeout=120)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        b.close()
+    for i in range(3):
+        _assert_same_annotations(results[i], _expected(imgs[i]))
+    assert b.stats["images_padded"] >= 1
+
+
+def test_decode_request_image_npy_and_png():
+    img = _images(1, h=48, w=48, seed=9)[0]
+    buf = io.BytesIO()
+    np.save(buf, img)
+    got = decode_request_image(buf.getvalue(), "application/x-npy", (48, 48))
+    np.testing.assert_array_equal(got, img)
+    # PNG decodes byte-exact; a differently-sized input is host-resized
+    from PIL import Image
+
+    png = io.BytesIO()
+    Image.fromarray(img).save(png, format="PNG")
+    got = decode_request_image(png.getvalue(), "image/png", (48, 48))
+    np.testing.assert_array_equal(got, img)
+    got = decode_request_image(png.getvalue(), "image/png", (32, 32))
+    assert got.shape == (32, 32, 3)
+
+
+def test_http_round_trip():
+    imgs = _images(1, seed=11)
+    daemon = ServingDaemon(_batcher(), (64, 64),
+                           {"batch_size": 4, "image_hw": [64, 64]}, port=0)
+    daemon.start_background()
+    try:
+        base = f"http://127.0.0.1:{daemon.port}"
+        with urllib.request.urlopen(base + "/v1/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["batch_size"] == 4
+
+        buf = io.BytesIO()
+        np.save(buf, imgs[0])
+        req = urllib.request.Request(
+            base + "/v1/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy", "X-Image-Id": "7"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            payload = json.loads(r.read())
+        _assert_same_annotations(payload["annotations"],
+                                 _expected(imgs[0], image_id=7))
+        assert payload["latency_ms"] > 0
+
+        with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] == 1
+    finally:
+        daemon.shutdown()
+
+
+def test_http_bad_request():
+    daemon = ServingDaemon(_batcher(), (64, 64), {}, port=0)
+    daemon.start_background()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{daemon.port}/v1/predict",
+            data=b"not an image", headers={"Content-Type": "image/png"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 400
+        assert raised
+    finally:
+        daemon.shutdown()

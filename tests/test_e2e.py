@@ -168,3 +168,42 @@ def test_transform_stream_is_lazy(workspace):
     assert calls["n"] == 0  # nothing ran before consumption
     next(stream)
     assert calls["n"] == 1  # exactly one batch served
+
+
+def test_serving_daemon_from_trained_pipeline(workspace):
+    """The online serving daemon built from a trained pipeline (the CLI
+    `serve` command path): POST a real validation tile, get the same COCO
+    annotations evaluate would write for it."""
+    import glob
+    import json
+    import urllib.request
+
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.daemon import daemon_from_pipeline
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"])
+    pipeline = pl.PIPELINES["unet"]["inference"](manager.config)
+    daemon = daemon_from_pipeline(pipeline, manager.config, port=0,
+                                  max_wait_ms=1.0)
+    daemon.start_background()
+    try:
+        img_path = sorted(glob.glob(os.path.join(
+            workspace["data_dir"], "val", "images", "*")))[0]
+        with open(img_path, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{daemon.port}/v1/predict", data=body,
+            headers={"Content-Type": "image/jpeg", "X-Image-Id": "1"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+    finally:
+        daemon.shutdown()
+    anns = payload["annotations"]
+    # trained model on the easy fixture: at least one detected building,
+    # with the full COCO result schema at the evaluate target size
+    assert anns, "trained daemon returned no detections"
+    assert {"image_id", "category_id", "score", "segmentation",
+            "bbox"} <= set(anns[0])
+    assert anns[0]["image_id"] == 1
+    assert anns[0]["segmentation"]["size"] == [300, 300]
