@@ -35,7 +35,7 @@ class ConvRelu(nn.Module):
 
 def upsample2x(x):
     """Bilinear 2x spatial upsample of an NHWC tensor (align_corners=False
-    半-pixel convention, same as torch nn.Upsample(mode='bilinear'))."""
+    half-pixel convention, same as torch nn.Upsample(mode='bilinear'))."""
     n, h, w, c = x.shape
     return jax.image.resize(x, (n, h * 2, w * 2, c), method="linear")
 
