@@ -93,6 +93,8 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "data_parallel": 0,   # shard the batch over all devices ('data' axis)
     "spatial_serving": 0,  # shard image HEIGHT over the mesh at inference
                            # (serve one huge tile as a single forward; 'sp')
+    "quantized_serving": 0,  # int8 PTQ convs in the serving forward
+    "quant_calib_images": 32,  # activation-scale calibration sample
     "remat": 0,           # jax.checkpoint the forward (memory for FLOPs)
     # observability / recovery
     "resume_training": 1,

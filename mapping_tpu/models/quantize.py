@@ -1,0 +1,265 @@
+"""Post-training int8 quantization for the serving forward (TPU-first).
+
+The v5e MXU runs int8 x int8 -> int32 convolutions ~1.6x faster than
+bf16 (measured: 156 vs 96 TFLOP/s on a mid-network conv shape, PERF.md
+"int8 serving"). This module overlays int8 compute on ANY model in the zoo
+WITHOUT touching the model code: flax's interceptor mechanism
+(`nn.intercept_methods`) swaps every Conv/ConvTranspose call for
+
+    x (bf16) -> round(x / s_x) as int8 -> int8 conv (int32 accum)
+             -> * (s_x * s_w[c_out]) + bias -> bf16
+
+Activations BETWEEN convs stay bf16 (ReLU/add/resize unchanged, no
+requantization chains to tune); only the MXU contraction runs int8, which
+is where the time is. Scales are static (deployment-style PTQ):
+
+ - weights: symmetric per-output-channel absmax over the kernel
+   (`build_qtable`), computed once from the (BN-folded) serving params;
+ - activations: symmetric per-tensor absmax over calibration batches
+   (`collect_stats` runs the float forward under the recording
+   interceptor and returns per-conv input maxima as jit outputs).
+
+The reference has no quantized path at all (torch fp32 end to end); this
+is a beyond-parity serving feature gated behind `quantized_serving: 1`.
+
+No retraining, no fake-quant: weights are rounded once, so quantized
+serving assumes frozen weights (the pipelines build it after load()).
+"""
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+_EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# param-tree walking
+# ---------------------------------------------------------------------------
+
+def conv_kernel_paths(params) -> Dict[str, Any]:
+    """{'a/b/c': conv_subtree} for every module subtree holding a 4-D
+    'kernel' (Conv / ConvTranspose). Path strings match
+    '/'.join(module.path) seen by the interceptor."""
+    out = {}
+
+    def walk(tree, prefix):
+        if not isinstance(tree, dict):
+            return
+        kernel = tree.get("kernel")
+        if kernel is not None and getattr(kernel, "ndim", 0) == 4:
+            out["/".join(prefix)] = tree
+            return
+        for key, sub in tree.items():
+            walk(sub, prefix + (key,))
+
+    walk(params, ())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# calibration
+# ---------------------------------------------------------------------------
+
+def _is_conv(mod) -> bool:
+    return isinstance(mod, (nn.Conv, nn.ConvTranspose))
+
+
+def make_stats_fn(model, **apply_kwargs):
+    """jittable (variables, images) -> (output, {path: input_absmax}).
+
+    Runs the ordinary float forward with a recording interceptor; the
+    per-conv input maxima come back as ordinary jit outputs, so
+    calibration runs at compiled speed on device.
+    """
+
+    def run(variables, images):
+        stats = {}
+
+        def record(next_fn, args, kwargs, context):
+            if _is_conv(context.module) and \
+                    context.method_name == "__call__":
+                path = "/".join(context.module.path)
+                stats[path] = jnp.max(jnp.abs(args[0])).astype(jnp.float32)
+            return next_fn(*args, **kwargs)
+
+        with nn.intercept_methods(record):
+            out = model.apply(variables, images, **apply_kwargs)
+        return out, stats
+
+    return run
+
+
+def collect_stats(model, variables, batches, **apply_kwargs) -> Dict[str, float]:
+    """Max over calibration batches of each conv input's |x| max."""
+    fn = jax.jit(make_stats_fn(model, **apply_kwargs))
+    acc: Dict[str, float] = {}
+    for images in batches:
+        _, stats = fn(variables, images)
+        host = jax.device_get(stats)
+        for path, val in host.items():
+            acc[path] = max(acc.get(path, 0.0), float(val))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# weight quantization
+# ---------------------------------------------------------------------------
+
+def build_qtable(params, act_stats: Dict[str, float]) -> Dict[str, Any]:
+    """{path: {'w': int8 kernel, 'w_scale': f32[c_out], 'x_scale': f32[],
+    'bias': f32[c_out]|None}} for every conv with a calibrated input.
+
+    Weights: symmetric per-output-channel absmax / 127 (both Conv and
+    ConvTranspose kernels carry c_out last: HWIO / HWIO-transposed).
+    Activations: per-tensor absmax / 127 from the calibration pass.
+    Convs never seen in calibration (dead branches) stay float.
+    """
+    qtable = {}
+    for path, tree in conv_kernel_paths(params).items():
+        amax = act_stats.get(path)
+        if amax is None:
+            continue
+        kernel = np.asarray(tree["kernel"], np.float32)
+        w_scale = np.max(np.abs(kernel), axis=(0, 1, 2)) / 127.0
+        w_scale = np.maximum(w_scale, _EPS)
+        w_q = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
+        entry = {
+            "w": jnp.asarray(w_q),
+            "w_scale": jnp.asarray(w_scale, jnp.float32),
+            "x_scale": jnp.float32(max(float(amax) / 127.0, _EPS)),
+        }
+        bias = tree.get("bias")
+        if bias is not None:
+            entry["bias"] = jnp.asarray(np.asarray(bias, np.float32))
+        qtable[path] = entry
+    return qtable
+
+
+# ---------------------------------------------------------------------------
+# quantized apply
+# ---------------------------------------------------------------------------
+
+def _pad_attr(mod):
+    pad = mod.padding
+    if isinstance(pad, str):
+        return pad
+    if isinstance(pad, int):
+        return [(pad, pad)] * 2
+    return [tuple(p) if not isinstance(p, int) else (p, p) for p in pad]
+
+
+def _supported(mod) -> bool:
+    if getattr(mod, "feature_group_count", 1) != 1:
+        return False
+    if isinstance(mod, nn.Conv):
+        if mod.input_dilation not in (None, 1, (1, 1)):
+            return False
+    return True
+
+
+def _quantize_input(x, x_scale):
+    q = jnp.round(x.astype(jnp.float32) * (1.0 / x_scale))
+    return jnp.clip(q, -127.0, 127.0).astype(jnp.int8)
+
+
+def _qconv(mod, x, entry, float_kernel_dtype):
+    """int8 replacement for one nn.Conv/nn.ConvTranspose call (NHWC)."""
+    strides = mod.strides or (1, 1)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    kdil = mod.kernel_dilation or (1, 1)
+    if isinstance(kdil, int):
+        kdil = (kdil, kdil)
+    qx = _quantize_input(x, entry["x_scale"])
+    dn = ("NHWC", "HWIO", "NHWC")
+    if isinstance(mod, nn.ConvTranspose):
+        y = jax.lax.conv_transpose(
+            qx, entry["w"], strides, _pad_attr(mod),
+            rhs_dilation=kdil, dimension_numbers=dn,
+            transpose_kernel=False,
+            preferred_element_type=jnp.int32)
+    else:
+        y = jax.lax.conv_general_dilated(
+            qx, entry["w"], strides, _pad_attr(mod),
+            rhs_dilation=kdil, dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * (entry["w_scale"] * entry["x_scale"])
+    if "bias" in entry and mod.use_bias:
+        y = y + entry["bias"]
+    return y.astype(float_kernel_dtype)
+
+
+def make_quantized_apply(model, **apply_kwargs):
+    """jittable (variables, qtable, images) -> model output with every
+    calibrated conv running int8 on the MXU. Convs missing from the
+    qtable (or with unsupported attributes) fall back to float."""
+
+    def run(variables, qtable, images):
+        def swap(next_fn, args, kwargs, context):
+            mod = context.module
+            if _is_conv(mod) and context.method_name == "__call__":
+                entry = qtable.get("/".join(mod.path))
+                if entry is not None and _supported(mod):
+                    out_dtype = mod.dtype or args[0].dtype
+                    return _qconv(mod, args[0], entry, out_dtype)
+            return next_fn(*args, **kwargs)
+
+        with nn.intercept_methods(swap):
+            return model.apply(variables, images, **apply_kwargs)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# serving-level composition
+# ---------------------------------------------------------------------------
+
+def quantized_probs_fn(model, get_params, calib_images,
+                       has_batch_stats: bool = False,
+                       calib_batch_size: Optional[int] = None
+                       ) -> Tuple[Any, Any]:
+    """(pure_probs_fn, get_packed) for FusedServe composition, int8 inside.
+
+    model/get_params: the serving model + current-params getter (BN-folded
+    family: folded model + folded params; else the raw model, in which case
+    get_params() must return (params, batch_stats) and has_batch_stats=True).
+    calib_images: (N, H, W, 3) preprocessed images for calibration (split
+    into calib_batch_size chunks to bound memory).
+
+    The returned probs_fn(p, images) unpacks p = {'variables', 'qtable'};
+    get_packed() re-reads get_params() but keeps the FROZEN qtable (PTQ
+    contract: scales and int8 weights are fixed at build time).
+    """
+
+    def to_variables(p):
+        if has_batch_stats:
+            params, batch_stats = p
+            return {"params": params, "batch_stats": batch_stats}
+        return {"params": p}
+
+    variables = to_variables(get_params())
+    n = calib_images.shape[0]
+    step = int(calib_batch_size or n) or n
+    batches = [calib_images[i:i + step] for i in range(0, n, step)]
+    stats = collect_stats(model, variables, batches, train=False)
+    qtable = build_qtable(variables["params"], stats)
+    logger.info("quantized serving: %d conv(s) int8, calibrated on %d "
+                "image(s)", len(qtable), n)
+    apply_q = make_quantized_apply(model, train=False)
+
+    def probs_fn(p, images):
+        logits = apply_q(p["variables"], p["qtable"], images)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    def get_packed():
+        return {"variables": to_variables(get_params()), "qtable": qtable}
+
+    return probs_fn, get_packed

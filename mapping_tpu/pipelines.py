@@ -154,7 +154,10 @@ class UNetPipeline:
         from mapping_tpu.infer.serving import FusedServe
 
         post = self.config.postprocessor
-        probs_fn, get_params = self.trainer.probs_apply_fn()
+        if self.config.params.get("quantized_serving", 0):
+            probs_fn, get_params = self._quantized_fns()
+        else:
+            probs_fn, get_params = self.trainer.probs_apply_fn()
         specs = (tta_specs(**dict(self.config.tta_generator))
                  if self.tta else None)
         spatial = bool(self.config.params.get("spatial_serving", 0))
@@ -189,6 +192,48 @@ class UNetPipeline:
         )
         self._serve_cache[key] = serve
         return serve
+
+    def _quantized_fns(self):
+        """int8 PTQ serving fns (`quantized_serving: 1`): quantize the
+        serving model's convs (models/quantize.py) with activation scales
+        calibrated on the first `quant_calib_images` metadata images. Falls
+        back to float (with a warning) when no metadata exists to calibrate
+        on — e.g. a bare predict_on_dir before prepare_metadata."""
+        calib = self._calibration_images()
+        if calib is None:
+            logger.warning("quantized_serving: no metadata to calibrate on; "
+                           "serving float")
+            return self.trainer.probs_apply_fn()
+        from mapping_tpu.models.quantize import quantized_probs_fn
+
+        model, get_p, has_bs = self.trainer.serving_model_fns()
+        return quantized_probs_fn(
+            model, get_p, calib, has_batch_stats=has_bs,
+            calib_batch_size=int(self.config.params.batch_size_inference))
+
+    def _calibration_images(self):
+        """First n preprocessed inference images from the experiment's
+        metadata table (device arrays, exactly what the serve program
+        sees). None when the metadata csv doesn't exist yet."""
+        import numpy as _np
+        import pandas as pd
+
+        meta_path = os.path.join(self.config.params.meta_dir, "metadata.csv")
+        if not os.path.exists(meta_path):
+            return None
+        n = int(self.config.params.get("quant_calib_images", 32))
+        meta = pd.read_csv(meta_path).iloc[:max(n, 1)]
+        x, _ = _xy(meta)
+        gens = self.loader.transform(x, None, train_mode=False)
+        flow, steps = gens["datagen"]
+        chunks, total = [], 0
+        for batch_id, batch in enumerate(flow):
+            images = batch["image"] if isinstance(batch, dict) else batch
+            chunks.append(_np.asarray(images))
+            total += images.shape[0]
+            if total >= n or batch_id + 1 >= steps:
+                break
+        return _np.concatenate(chunks)[:n]
 
     def _postprocessed_images(self, data, return_features=False):
         """Shared batch->per-image generator behind transform (list),

@@ -320,6 +320,27 @@ class UNetTrainer:
             self._fold_key = key
         return self._fold_params
 
+    def serving_model_fns(self):
+        """(model, get_params, has_batch_stats) for serving composition that
+        needs the MODEL itself (e.g. the int8 PTQ overlay intercepts its
+        conv calls — models/quantize.py). BN-folded family: the folded
+        model + always-fresh folded params (has_batch_stats False); else
+        the raw model with get_params() -> (params, batch_stats) when BN
+        state exists, params alone otherwise."""
+        self._ensure_state()
+        from mapping_tpu.models.fold_bn import can_fold
+
+        has_bs = bool(jax.tree_util.tree_leaves(self.state.batch_stats))
+        if can_fold(self.model) and has_bs:
+            self.predict_probs_fn()  # ensures fold machinery + fresh params
+            return (self.model.clone(fold_bn=True),
+                    self._refresh_fold_params, False)
+        if has_bs:
+            return (self.model,
+                    lambda: (self.state.params, self.state.batch_stats),
+                    True)
+        return self.model, (lambda: self.state.params), False
+
     def probs_apply_fn(self):
         """(pure_probs_fn, get_params) for serving-program composition.
 

@@ -207,3 +207,18 @@ def test_serving_daemon_from_trained_pipeline(workspace):
             "bbox"} <= set(anns[0])
     assert anns[0]["image_id"] == 1
     assert anns[0]["segmentation"]["size"] == [300, 300]
+
+
+def test_evaluate_quantized_serving_close_to_float(workspace):
+    """quantized_serving=1: the int8 PTQ path (models/quantize.py) must
+    reproduce the float pipeline's quality on the fixture — PTQ on this
+    easy set should cost (at most) a small AP delta."""
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"])
+    ap_float, _ = manager.evaluate("unet", dev_mode=False, chunk_size=None)
+    manager_q = PipelineManager(workspace["config"],
+                                overrides={"quantized_serving": 1,
+                                           "quant_calib_images": 4})
+    ap_q, _ = manager_q.evaluate("unet", dev_mode=False, chunk_size=None)
+    assert ap_q > ap_float - 0.05, (ap_q, ap_float)

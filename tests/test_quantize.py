@@ -1,0 +1,140 @@
+"""int8 PTQ serving overlay (models/quantize.py): geometry parity of the
+interceptor's conv replacements, calibration, and full-model closeness."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mapping_tpu.models.quantize import (build_qtable, collect_stats,
+                                         conv_kernel_paths,
+                                         make_quantized_apply,
+                                         quantized_probs_fn)
+
+
+class ConvZoo(nn.Module):
+    """One of every conv attribute combination the model zoo uses."""
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(8, (3, 3), padding="SAME", name="same3")(x)
+        x = nn.Conv(8, (3, 3), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)], name="strided")(x)
+        x = nn.Conv(8, (7, 7), strides=(2, 2),
+                    padding=[(3, 3), (3, 3)], name="stem")(x)
+        x = nn.ConvTranspose(8, (4, 4), strides=(2, 2), padding="SAME",
+                             name="deconv_same")(x)
+        x = nn.ConvTranspose(8, (3, 3), strides=(2, 2),
+                             padding=[(1, 2), (1, 2)], name="deconv_v1")(x)
+        x = nn.Conv(4, (1, 1), padding="SAME", name="final")(x)
+        return x
+
+
+def _integer_params(params, rng):
+    """Replace kernels/biases with small integers: with unit scales the int8
+    path must then match the float path EXACTLY (validates every stride/
+    padding/dimension-number choice in _qconv)."""
+    def repl(leaf):
+        return jnp.asarray(
+            rng.randint(-3, 4, leaf.shape).astype(np.float32))
+
+    return jax.tree_util.tree_map(repl, params)
+
+
+import pytest
+
+CONV_VARIANTS = [
+    ("same3", lambda: nn.Conv(8, (3, 3), padding="SAME")),
+    ("strided", lambda: nn.Conv(8, (3, 3), strides=(2, 2),
+                                padding=[(1, 1), (1, 1)])),
+    ("stem", lambda: nn.Conv(8, (7, 7), strides=(2, 2),
+                             padding=[(3, 3), (3, 3)])),
+    ("deconv_same", lambda: nn.ConvTranspose(8, (4, 4), strides=(2, 2),
+                                             padding="SAME")),
+    ("deconv_v1", lambda: nn.ConvTranspose(8, (3, 3), strides=(2, 2),
+                                           padding=[(1, 2), (1, 2)])),
+    ("one_by_one", lambda: nn.Conv(4, (1, 1), padding="SAME")),
+]
+
+
+@pytest.mark.parametrize("name,make", CONV_VARIANTS,
+                         ids=[v[0] for v in CONV_VARIANTS])
+def test_qconv_geometry_exact(name, make):
+    """Integer weights + integer inputs within int8 range + unit scales:
+    the int8 replacement must match the float conv EXACTLY — validates
+    every stride/padding/dimension-number choice in _qconv per variant."""
+    model = make()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(-5, 6, (2, 16, 16, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    params = _integer_params(variables["params"], rng)
+    variables = {"params": params}
+
+    qtable = {"": {
+        "w": jnp.asarray(np.asarray(params["kernel"], np.int8)),
+        "w_scale": jnp.ones((params["kernel"].shape[-1],), jnp.float32),
+        "x_scale": jnp.float32(1.0),
+        "bias": jnp.asarray(params["bias"], jnp.float32),
+    }}
+    want = model.apply(variables, x)
+    got = make_quantized_apply(model)(variables, qtable, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-3)
+
+
+def test_collect_stats_paths_and_values():
+    model = ConvZoo()
+    x = jnp.asarray(np.linspace(-2, 2, 2 * 16 * 16 * 3, dtype=np.float32)
+                    .reshape(2, 16, 16, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    stats = collect_stats(model, variables, [x])
+    assert set(stats) == set(conv_kernel_paths(variables["params"]))
+    # the first conv's input is the image itself
+    assert np.isclose(stats["same3"], 2.0, atol=1e-5)
+    qtable = build_qtable(variables["params"], stats)
+    assert set(qtable) == set(stats)
+    assert qtable["same3"]["w"].dtype == jnp.int8
+    assert np.isclose(float(qtable["same3"]["x_scale"]), 2.0 / 127, rtol=1e-5)
+
+
+def test_quantized_model_close_to_float():
+    """Full scratch-UNet forward: int8 probs track float probs (small mean
+    deviation, near-total argmax agreement on confident pixels)."""
+    from mapping_tpu.models import build_network
+
+    model = build_network({"encoder": "from_scratch", "n_filters": 8,
+                           "repeat_blocks": 2})
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def get_params():
+        return (variables["params"], variables.get("batch_stats", {}))
+
+    probs_fn, get_packed = quantized_probs_fn(
+        model, get_params, np.asarray(x), has_batch_stats=True)
+    probs_q = np.asarray(probs_fn(get_packed(), x))
+    float_probs = np.asarray(jax.nn.softmax(model.apply(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})},
+        x, train=False).astype(jnp.float32), axis=-1))
+    assert probs_q.shape == float_probs.shape
+    assert np.mean(np.abs(probs_q - float_probs)) < 0.02
+    confident = np.abs(float_probs[..., 1] - 0.5) > 0.1
+    if confident.any():
+        agree = (probs_q[..., 1] > 0.5) == (float_probs[..., 1] > 0.5)
+        assert agree[confident].mean() > 0.98
+
+
+def test_uncalibrated_conv_stays_float():
+    model = ConvZoo()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 16, 16, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    stats = collect_stats(model, variables, [x])
+    stats.pop("final")  # simulate a branch never seen in calibration
+    qtable = build_qtable(variables["params"], stats)
+    assert "final" not in qtable
+    out = make_quantized_apply(model)(variables, qtable, x)
+    assert out.shape == (1, 16, 16, 4)  # runs; final conv on the float path
