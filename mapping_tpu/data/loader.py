@@ -310,6 +310,17 @@ class SegmentationLoader:
 
         return TrainFlow(), steps
 
+    def infer_preprocess(self, image_u8_batch):
+        """The mode-dependent device preprocess inference batches get
+        ((B, H, W, 3) uint8 -> normalized images): resize-to-size for
+        'resize', replicate-pad for 'crop_and_pad'. Shared by _eval_gen and
+        the online serving daemon so a served request sees EXACTLY the
+        offline pipeline's input transform."""
+        image_u8_batch = jnp.asarray(image_u8_batch)
+        if self.mode == "resize":
+            return _infer_batch_resize(image_u8_batch, self.size)["image"]
+        return _infer_batch_pad(image_u8_batch, self.pad)["image"]
+
     def _eval_gen(self, X, y):
         n = len(X)
         bs = self.batch_size_inference
@@ -334,20 +345,17 @@ class SegmentationLoader:
                     return loader._assemble(X, y, idxs)
 
                 for image_b, target_b in _Prefetcher(make_batch, steps):
-                    if loader.mode == "resize":
-                        if target_b is None:
-                            yield _infer_batch_resize(jnp.asarray(image_b),
-                                                      loader.size)
-                        else:
-                            yield _eval_batch_resize(
-                                jnp.asarray(image_b), jnp.asarray(target_b),
-                                loader.size)
+                    if target_b is None:
+                        yield {"image": loader.infer_preprocess(image_b)}
+                    elif loader.mode == "resize":
+                        yield _eval_batch_resize(
+                            jnp.asarray(image_b), jnp.asarray(target_b),
+                            loader.size)
                     else:
                         out = _infer_batch_pad(jnp.asarray(image_b), loader.pad)
-                        if target_b is not None:
-                            out = dict(out)
-                            out["target"] = jnp.asarray(A.pad_replicate(
-                                jnp.asarray(target_b), loader.pad))
+                        out = dict(out)
+                        out["target"] = jnp.asarray(A.pad_replicate(
+                            jnp.asarray(target_b), loader.pad))
                         yield out
 
             def __len__(self):

@@ -5,8 +5,10 @@ reference main.py:52-64) — it has no online serving story. This daemon is
 the production-serving face of the same fused program the pipelines run
 (infer/serving.py FusedServe), built TPU-first:
 
- - requests POST one image each (JPEG/PNG bytes or a .npy array); host
-   threads decode them (native libjpeg path where byte-exact);
+ - requests POST one image each (JPEG/PNG bytes or a .npy array); HTTP
+   handler threads decode them (PIL — bodies arrive as bytes, so the
+   path-based native libjpeg fast path the offline loader uses does not
+   apply here);
  - a microbatcher coalesces requests up to the pipeline's
    `batch_size_inference` (waiting at most `max_wait_ms` after the first
    request of a batch) and pads the ragged tail by repeating rows, so the
@@ -70,13 +72,15 @@ class Microbatcher:
     def __init__(self, serve, preprocess, batch_size: int,
                  category_ids: Sequence[Optional[int]],
                  category_layers: Sequence[int],
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0,
+                 request_timeout: float = 300.0):
         self._serve = serve
         self._preprocess = preprocess
         self._batch = int(batch_size)
         self._cat_ids = list(category_ids)
         self._cat_layers = list(category_layers)
         self._max_wait = float(max_wait_ms) / 1000.0
+        self._request_timeout = float(request_timeout)
         self._requests = queue.Queue()
         self._inflight = queue.Queue(maxsize=1)  # depth-1 = double buffer
         self._stop = threading.Event()
@@ -94,10 +98,22 @@ class Microbatcher:
     def submit(self, image: np.ndarray, timeout: Optional[float] = None,
                image_id: int = 0):
         """Blocking: enqueue one (H, W, 3) uint8 image, wait for its
-        annotations. Raises on worker-side failure."""
+        annotations. Raises TimeoutError after `timeout` (default: the
+        batcher's request_timeout — never unbounded, so a wedged device
+        can't hang HTTP handler threads forever) or RuntimeError on a
+        worker-side failure."""
+        if self._stop.is_set():
+            raise RuntimeError("daemon is shut down")
         pending = _Pending(image, image_id)
         self._requests.put(pending)
-        if not pending.done.wait(timeout):
+        if self._stop.is_set() and not pending.done.is_set():
+            # close() may already have drained the queue; fail fast rather
+            # than waiting out the timeout on a request nobody will serve
+            pending.error = (pending.error
+                             or "daemon shut down before serving the request")
+            pending.done.set()
+        if not pending.done.wait(timeout if timeout is not None
+                                 else self._request_timeout):
             raise TimeoutError("prediction timed out")
         if pending.error is not None:
             raise RuntimeError(pending.error)
@@ -109,13 +125,26 @@ class Microbatcher:
         self._requests.put(None)
         for t in self._threads:
             t.join(timeout=5)
+        # fail anything still queued so no submit() waits forever
+        while True:
+            try:
+                pending = self._requests.get_nowait()
+            except queue.Empty:
+                break
+            if pending is not None:
+                pending.error = "daemon shut down before serving the request"
+                pending.done.set()
 
     # ------------------------------------------------------------ workers
     def _take_batch(self):
         """Up to batch_size requests; after the first arrives, wait at most
         max_wait for stragglers (latency floor beats occupancy past that)."""
         first = self._requests.get()
-        if first is None or self._stop.is_set():
+        if first is None:
+            return None
+        if self._stop.is_set():
+            first.error = "daemon shut down before serving the request"
+            first.done.set()
             return None
         batch = [first]
         deadline = time.monotonic() + self._max_wait
@@ -178,25 +207,53 @@ class Microbatcher:
                     p.done.set()
 
 
+class RequestError(ValueError):
+    """Client-side problem with a request body (HTTP 400)."""
+
+
 def decode_request_image(body: bytes, content_type: str,
                          target_hw) -> np.ndarray:
     """Request bytes -> (H, W, 3) uint8 at the daemon's canonical raw shape.
 
-    .npy arrays pass through (shape-checked); image bytes decode via PIL and
-    are host-resized only when their size differs from the canonical one —
-    dataset-sized tiles take the no-resize path.
+    .npy arrays pass through (uint8, or floats in [0, 1] scaled to 255 —
+    anything else is a RequestError rather than a silent truncation);
+    image bytes decode via PIL and are host-resized only when their size
+    differs from the canonical one — dataset-sized tiles take the
+    no-resize path.
     """
     h, w = target_hw
     if "npy" in content_type or body[:6] == b"\x93NUMPY":
-        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        try:
+            arr = np.load(io.BytesIO(body), allow_pickle=False)
+        except Exception as exc:
+            raise RequestError(f"invalid .npy body: {exc!r}") from exc
         if arr.ndim != 3 or arr.shape[-1] != 3:
-            raise ValueError(f"expected (H, W, 3) array, got {arr.shape}")
-        arr = arr.astype(np.uint8)
+            raise RequestError(f"expected (H, W, 3) array, got {arr.shape}")
+        if arr.dtype == np.uint8:
+            pass
+        elif np.issubdtype(arr.dtype, np.floating):
+            if not np.isfinite(arr).all() or arr.min() < 0 or \
+                    arr.max() > 1.001:
+                raise RequestError(
+                    "float image must be in [0, 1] (got range "
+                    f"[{arr.min():.3g}, {arr.max():.3g}])")
+            arr = np.round(arr * 255.0).astype(np.uint8)
+        elif np.issubdtype(arr.dtype, np.integer):
+            if arr.min() < 0 or arr.max() > 255:
+                raise RequestError(
+                    "integer image must be in [0, 255] (got range "
+                    f"[{arr.min()}, {arr.max()}])")
+            arr = arr.astype(np.uint8)
+        else:
+            raise RequestError(f"unsupported array dtype {arr.dtype}")
     else:
         from PIL import Image
 
-        with Image.open(io.BytesIO(body)) as img:
-            arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        try:
+            with Image.open(io.BytesIO(body)) as img:
+                arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        except Exception as exc:
+            raise RequestError(f"undecodable image bytes: {exc!r}") from exc
     if arr.shape[:2] != (h, w):
         from PIL import Image
 
@@ -245,8 +302,13 @@ def _make_handler(batcher: Microbatcher, target_hw, info: dict):
                     "latency_ms": round(
                         (time.perf_counter() - t0) * 1000, 2),
                 })
-            except Exception as exc:  # noqa: BLE001 - HTTP boundary
+            except (RequestError, ValueError) as exc:  # malformed request
                 self._reply(400, {"error": repr(exc)})
+            except TimeoutError as exc:  # overloaded / wedged device
+                self._reply(503, {"error": repr(exc)})
+            except Exception as exc:  # noqa: BLE001 - server-side failure
+                logger.exception("predict handler failed")
+                self._reply(500, {"error": repr(exc)})
 
         def log_message(self, fmt, *args):  # route through our logger
             logger.debug("http: " + fmt, *args)
@@ -287,15 +349,23 @@ class ServingDaemon:
 def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
                          max_wait_ms=5.0):
     """Build the daemon from a trained inference pipeline: loads the
-    checkpoint, builds the SAME FusedServe program `evaluate` runs, and the
-    loader's device preprocess (resize + normalize)."""
+    checkpoint, builds the SAME FusedServe program `evaluate` runs, and
+    reuses the pipeline loader's mode-dependent device preprocess
+    (resize-to-size or replicate-pad), so a served request sees exactly
+    the offline input transform. Requests are host-resized to the dataset
+    tile size (crop_image_h/w) when they arrive at a different one."""
     import os
 
     import jax
 
     from mapping_tpu.constants import CATEGORY_IDS
-    from mapping_tpu.data.loader import _infer_batch_resize
 
+    if not hasattr(pipeline, "trainer"):
+        raise ValueError(
+            f"serve supports the segmentation pipelines (unet*); "
+            f"{type(pipeline).__name__} adds batch-mode scoring-model "
+            "rescoring + NMS on top, which the online daemon does not run — "
+            "serve the underlying unet pipeline instead")
     if not os.path.exists(pipeline.trainer_cache_path):
         raise RuntimeError(
             f"no trained model at {pipeline.trainer_cache_path}; train first")
@@ -304,11 +374,11 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
         pipeline._weights_loaded = True
     serve = pipeline.serve_program()
     params = config.params
-    size = (int(params.image_h), int(params.image_w))
+    # canonical raw request shape = the dataset tile size the offline path
+    # decodes (the loader then resizes or pads it on device, per mode)
+    tile = (int(params.crop_image_h), int(params.crop_image_w))
     batch = int(params.batch_size_inference)
-
-    def preprocess(u8_batch):
-        return _infer_batch_resize(u8_batch, size)["image"]
+    preprocess = pipeline.loader.infer_preprocess
 
     batcher = Microbatcher(
         serve, preprocess, batch,
@@ -317,9 +387,10 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
         max_wait_ms=max_wait_ms)
     # warm: compile the program before accepting traffic (first compile is
     # tens of seconds via remote-compile; health checks pass once warm)
-    warm = np.zeros((batch, size[0], size[1], 3), np.uint8)
+    warm = np.zeros((batch, tile[0], tile[1], 3), np.uint8)
     serve.collect(serve.dispatch(preprocess(warm)))
-    info = {"batch_size": batch, "image_hw": list(size),
+    info = {"batch_size": batch, "image_hw": list(tile),
+            "loader_mode": pipeline.loader.mode,
             "platform": jax.devices()[0].platform,
             "pipeline": type(pipeline).__name__}
-    return ServingDaemon(batcher, size, info, host=host, port=port)
+    return ServingDaemon(batcher, tile, info, host=host, port=port)

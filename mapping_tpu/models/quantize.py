@@ -235,8 +235,10 @@ def quantized_probs_fn(model, get_params, calib_images,
     into calib_batch_size chunks to bound memory).
 
     The returned probs_fn(p, images) unpacks p = {'variables', 'qtable'};
-    get_packed() re-reads get_params() but keeps the FROZEN qtable (PTQ
-    contract: scales and int8 weights are fixed at build time).
+    get_packed() returns a SNAPSHOT of both taken at build time — the PTQ
+    contract is frozen weights, and serving fresh float params against
+    build-time int8 kernels would mix two weight generations into one
+    network. Callers that change weights (load/graft/train) must rebuild.
     """
 
     def to_variables(p):
@@ -247,19 +249,28 @@ def quantized_probs_fn(model, get_params, calib_images,
 
     variables = to_variables(get_params())
     n = calib_images.shape[0]
-    step = int(calib_batch_size or n) or n
-    batches = [calib_images[i:i + step] for i in range(0, n, step)]
+    step = min(int(calib_batch_size or n) or n, n)
+    if n >= 2 * step:
+        # equal-size chunks only: a ragged tail would compile the whole
+        # float forward a second time just for calibration
+        bounds = range(0, (n // step) * step, step)
+    else:
+        bounds = [0]
+        step = n
+    batches = [calib_images[i:i + step] for i in bounds]
     stats = collect_stats(model, variables, batches, train=False)
     qtable = build_qtable(variables["params"], stats)
     logger.info("quantized serving: %d conv(s) int8, calibrated on %d "
-                "image(s)", len(qtable), n)
+                "image(s)", len(qtable), len(batches) * step)
     apply_q = make_quantized_apply(model, train=False)
 
     def probs_fn(p, images):
         logits = apply_q(p["variables"], p["qtable"], images)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
+    packed = {"variables": variables, "qtable": qtable}
+
     def get_packed():
-        return {"variables": to_variables(get_params()), "qtable": qtable}
+        return packed
 
     return probs_fn, get_packed

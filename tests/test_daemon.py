@@ -192,3 +192,73 @@ def test_http_bad_request():
         assert raised
     finally:
         daemon.shutdown()
+
+
+def test_decode_npy_dtypes():
+    from mapping_tpu.infer.daemon import RequestError
+
+    img = _images(1, h=32, w=32, seed=13)[0]
+    # float in [0,1] is scaled, matching uint8 exactly
+    buf = io.BytesIO()
+    np.save(buf, img.astype(np.float32) / 255.0)
+    got = decode_request_image(buf.getvalue(), "application/x-npy", (32, 32))
+    np.testing.assert_array_equal(got, img)
+    # out-of-range float and exotic dtypes are 400s, not silent truncation
+    for bad in (img.astype(np.float32),          # 0..255 floats
+                img.astype(np.int32) - 500,      # negative ints
+                img.astype(np.complex64)):
+        buf = io.BytesIO()
+        np.save(buf, bad)
+        try:
+            decode_request_image(buf.getvalue(), "application/x-npy",
+                                 (32, 32))
+            assert False, f"{bad.dtype} accepted"
+        except RequestError:
+            pass
+    # in-range wider ints pass through
+    buf = io.BytesIO()
+    np.save(buf, img.astype(np.int16))
+    got = decode_request_image(buf.getvalue(), "application/x-npy", (32, 32))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_shutdown_fails_queued_requests_instead_of_hanging():
+    """close() must resolve queued/in-flight submits with an error — an
+    HTTP handler thread blocked in submit() may never hang forever."""
+    b = _batcher(batch_size=4, max_wait_ms=10.0)
+    b.submit(_images(1, seed=15)[0], timeout=60)  # warm compile first
+    results = {}
+
+    def late_caller():
+        try:
+            results["out"] = b.submit(_images(1, seed=16)[0], timeout=30)
+        except (RuntimeError, TimeoutError) as exc:
+            results["err"] = exc
+
+    # stop the batcher, then submit: the request must fail fast, not hang
+    b._stop.set()
+    t = threading.Thread(target=late_caller)
+    t.start()
+    b.close()
+    t.join(timeout=30)
+    assert not t.is_alive(), "submit() hung across shutdown"
+    assert "err" in results
+
+
+def test_submit_has_default_timeout():
+    b = _batcher()
+    try:
+        assert b._request_timeout == 300.0
+        # a dead collector must surface as TimeoutError, not a hang
+        b2 = Microbatcher(None, _preprocess, 2, category_ids=CAT_IDS,
+                          category_layers=CAT_LAYERS, request_timeout=0.5)
+        # serve=None crashes the batcher thread -> error propagates
+        try:
+            b2.submit(_images(1, seed=17)[0])
+            raised = False
+        except (RuntimeError, TimeoutError):
+            raised = True
+        assert raised
+        b2.close()
+    finally:
+        b.close()

@@ -16,7 +16,7 @@ class ConvZoo(nn.Module):
     """One of every conv attribute combination the model zoo uses."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train=False):
         x = nn.Conv(8, (3, 3), padding="SAME", name="same3")(x)
         x = nn.Conv(8, (3, 3), strides=(2, 2),
                     padding=[(1, 1), (1, 1)], name="strided")(x)
@@ -138,3 +138,51 @@ def test_uncalibrated_conv_stays_float():
     assert "final" not in qtable
     out = make_quantized_apply(model)(variables, qtable, x)
     assert out.shape == (1, 16, 16, 4)  # runs; final conv on the float path
+
+
+def test_quantized_fns_snapshot_weights():
+    """get_packed() must serve the BUILD-TIME weights: pairing fresh float
+    params with the frozen int8 kernels would mix two weight generations
+    into one network (review finding)."""
+    from mapping_tpu.models import build_network
+
+    model = build_network({"encoder": "from_scratch", "n_filters": 8,
+                           "repeat_blocks": 2})
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 64, 3)
+                    .astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    holder = {"v": variables}
+
+    def get_params():
+        return (holder["v"]["params"], holder["v"].get("batch_stats", {}))
+
+    probs_fn, get_packed = quantized_probs_fn(
+        model, get_params, np.asarray(x), has_batch_stats=True)
+    before = probs_fn(get_packed(), x)
+    # mutate the live weights; the quantized program must not follow
+    holder["v"] = jax.tree_util.tree_map(lambda l: l * 0.0, variables)
+    after = probs_fn(get_packed(), x)
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+
+def test_calibration_batches_equal_size():
+    """Calibration must not compile a second forward for a ragged tail:
+    33 images at batch 8 -> 4 batches of 8 (25th..33rd dropped)."""
+    model = ConvZoo()
+    x = np.random.RandomState(4).rand(33, 16, 16, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+    seen = []
+    import mapping_tpu.models.quantize as Q
+    orig = Q.collect_stats
+
+    def spy(model_, vars_, batches, **kw):
+        seen.extend(b.shape[0] for b in batches)
+        return orig(model_, vars_, batches, **kw)
+
+    Q.collect_stats = spy
+    try:
+        Q.quantized_probs_fn(model, lambda: variables["params"],
+                             x, has_batch_stats=False, calib_batch_size=8)
+    finally:
+        Q.collect_stats = orig
+    assert seen == [8, 8, 8, 8], seen
