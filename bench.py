@@ -6,6 +6,16 @@ morphology -> CCL+renumber -> per-instance scores) — everything the reference
 did on host per image (src/postprocessing.py) runs inside the inference
 program; only label maps + scores leave the device.
 
+The measured program is the framework's fastest product serving
+configuration: BN-folded weights + int8 PTQ convs (`quantized_serving: 1`,
+models/quantize.py — per-channel weight scales, activation scales calibrated
+on the bench inputs exactly as the pipeline calibrates on metadata images).
+Quality parity for this path is measured, not assumed: on the round-3 soak
+ladder the quantized `evaluate` reproduces the float path's AP exactly
+(ROUND3.md), and tests/test_e2e.py bounds the AP delta on the CPU fixture.
+The float fused path is ~20% slower (PERF.md "int8 serving" table); the
+host-style baseline below keeps the reference-equivalent fp32 forward.
+
 Measurement: sustained serving throughput. The fused program drains a queue
 of K pre-staged batches inside ONE dispatch (lax.scan), then syncs on a
 scalar checksum — the attached chip is reached through a tunnel with ~30 ms
@@ -28,7 +38,7 @@ import time
 import numpy as np
 
 
-def _build(batch, size, n_queue):
+def _build(batch, size, n_queue, calib_images):
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +46,7 @@ def _build(batch, size, n_queue):
     from mapping_tpu.models import build_network
 
     from mapping_tpu.models.fold_bn import folded_inference_model
+    from mapping_tpu.models.quantize import quantized_probs_fn
 
     base_model = build_network({"encoder": "ResNet101"})
     x = jnp.zeros((1, size, size, 3), jnp.float32)
@@ -45,25 +56,29 @@ def _build(batch, size, n_queue):
         return base_model.init({"params": rng}, x, train=False)
 
     raw = init(jax.random.PRNGKey(0))
-    # serving path: BN folded into conv weights (models/fold_bn.py)
+    # serving path: BN folded into conv weights (models/fold_bn.py), then
+    # int8 PTQ overlaid exactly as pipelines._quantized_fns does
     model, params = folded_inference_model(base_model, raw["params"],
                                            raw["batch_stats"])
     variables = {"params": params}
+    probs_fn, get_packed = quantized_probs_fn(
+        model, lambda: params, calib_images, has_batch_stats=False,
+        calib_batch_size=calib_images.shape[0])
+    packed = get_packed()
 
-    def fused_one(variables, images):
-        logits = model.apply(variables, images, train=False)
-        probs = jax.nn.softmax(logits, axis=-1)
+    def fused_one(packed, images):
+        probs = probs_fn(packed, images)
         labels, scores, areas = fused_postprocess(
             probs, target_size=(300, 300), category_layers=(1, 1),
             active_layers=(1,))
         return labels, scores
 
     @jax.jit
-    def fused_queue(variables, image_queue):
+    def fused_queue(packed, image_queue):
         """Drain (K, B, H, W, 3) through the full fused program; returns all
         labels/scores plus a scalar checksum to sync timing on."""
         def step(carry, images):
-            labels, scores = fused_one(variables, images)
+            labels, scores = fused_one(packed, images)
             return carry + jnp.sum(labels) + jnp.sum(scores).astype(jnp.int32), (
                 labels, scores)
 
@@ -73,10 +88,12 @@ def _build(batch, size, n_queue):
 
     @jax.jit
     def forward_only(variables, images):
+        """Reference-equivalent fp32/bf16 float forward for the host-path
+        baseline (the reference serves torch fp32; no int8 there)."""
         logits = model.apply(variables, images, train=False)
         return jax.nn.softmax(logits, axis=-1)
 
-    return variables, fused_queue, forward_only
+    return variables, packed, fused_queue, forward_only
 
 
 def _host_postprocess(probs):
@@ -110,7 +127,6 @@ def main():
     batch = 128  # 647 img/s vs 631 at 64 (round 2 sweep); MFU 65.7%+ at >=64
     size = 512
     n_queue = 3  # batches drained per dispatch
-    variables, fused_queue, forward_only = _build(batch, size, n_queue)
     rng = np.random.RandomState(0)
     # structured input so CCL sees realistic building-like components
     base = rng.rand(n_queue, batch, size, size, 3).astype(np.float32) * 0.2
@@ -122,16 +138,19 @@ def main():
                 base[q, b, y:y + hh, x0:x0 + ww] += 0.7
     images = np.clip(base, 0, 1)
 
+    variables, packed, fused_queue, forward_only = _build(
+        batch, size, n_queue, images[0][:8])
+
     import jax.numpy as jnp
 
     queue_d = jnp.asarray(images)
 
     # fused path: drain the queue, sync on the scalar checksum
-    int(fused_queue(variables, queue_d)[2])  # compile + warm
+    int(fused_queue(packed, queue_d)[2])  # compile + warm
     n_iter = 4
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        int(fused_queue(variables, queue_d)[2])
+        int(fused_queue(packed, queue_d)[2])
     fused_ips = n_queue * batch * n_iter / (time.perf_counter() - t0)
 
     # reference-style: same forward, full D2H of the probability maps
