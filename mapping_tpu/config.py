@@ -95,6 +95,10 @@ DEFAULT_PARAMS: Dict[str, Any] = {
                            # (serve one huge tile as a single forward; 'sp')
     "quantized_serving": 0,  # int8 PTQ convs in the serving forward
     "quant_calib_images": 32,  # activation-scale calibration sample
+    "serve_batch_buckets": "1",  # extra compiled batch shapes for the online
+                                 # daemon (comma-separated; the full
+                                 # batch_size_inference shape is always
+                                 # compiled too). "" = full batch only.
     "remat": 0,           # jax.checkpoint the forward (memory for FLOPs)
     # observability / recovery
     "resume_training": 1,

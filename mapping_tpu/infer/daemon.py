@@ -11,8 +11,10 @@ the production-serving face of the same fused program the pipelines run
    apply here);
  - a microbatcher coalesces requests up to the pipeline's
    `batch_size_inference` (waiting at most `max_wait_ms` after the first
-   request of a batch) and pads the ragged tail by repeating rows, so the
-   device sees ONE compiled program shape;
+   request of a batch) and pads the ragged tail by repeating rows up to the
+   smallest compiled batch-shape bucket that fits
+   (`serve_batch_buckets`, default "1": a lone request runs a batch-1
+   program instead of paying the full batch of H2D + forward + D2H);
  - batches are double-buffered through FusedServe.dispatch()/collect():
    batch k+1 is dispatched before batch k's labels are pulled, so decode +
    D2H overlap device compute exactly as in the offline pipelines;
@@ -73,10 +75,22 @@ class Microbatcher:
                  category_ids: Sequence[Optional[int]],
                  category_layers: Sequence[int],
                  max_wait_ms: float = 5.0,
-                 request_timeout: float = 300.0):
+                 request_timeout: float = 300.0,
+                 bucket_sizes: Optional[Sequence[int]] = None):
         self._serve = serve
         self._preprocess = preprocess
         self._batch = int(batch_size)
+        # batch-shape buckets: a request batch pads up to the SMALLEST
+        # compiled shape that fits, so a lone low-traffic request pays a
+        # batch-1 program (one image of H2D + forward + D2H), not the full
+        # batch_size one. jit caches one executable per shape; each bucket
+        # is warmed at daemon build. Always includes batch_size.
+        buckets = sorted(set(int(b) for b in (bucket_sizes or []))
+                         | {self._batch})
+        if buckets[0] < 1 or buckets[-1] > self._batch:
+            raise ValueError(f"bucket sizes must be in [1, {self._batch}], "
+                             f"got {buckets}")
+        self._buckets = buckets
         self._cat_ids = list(category_ids)
         self._cat_layers = list(category_layers)
         self._max_wait = float(max_wait_ms) / 1000.0
@@ -84,7 +98,8 @@ class Microbatcher:
         self._requests = queue.Queue()
         self._inflight = queue.Queue(maxsize=1)  # depth-1 = double buffer
         self._stop = threading.Event()
-        self.stats = {"requests": 0, "batches": 0, "images_padded": 0}
+        self.stats = {"requests": 0, "batches": 0, "images_padded": 0,
+                      "bucket_batches": {str(b): 0 for b in buckets}}
         self._threads = [
             threading.Thread(target=self._batch_loop, daemon=True,
                              name="serve-batcher"),
@@ -168,12 +183,14 @@ class Microbatcher:
                 continue
             try:
                 images = np.stack([p.image for p in batch])
-                pad = self._batch - len(batch)
+                bucket = next(b for b in self._buckets if b >= len(batch))
+                pad = bucket - len(batch)
                 if pad:
-                    # repeat the last row: one compiled shape per daemon
+                    # repeat the last row up to the bucket's compiled shape
                     images = np.concatenate(
                         [images, np.repeat(images[-1:], pad, axis=0)])
                     self.stats["images_padded"] += pad
+                self.stats["bucket_batches"][str(bucket)] += 1
                 handle = self._serve.dispatch(self._preprocess(images))
                 self._inflight.put((handle, batch))
             except Exception as exc:  # noqa: BLE001 - report to callers
@@ -380,16 +397,39 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
     batch = int(params.batch_size_inference)
     preprocess = pipeline.loader.infer_preprocess
 
+    # batch-shape buckets (`serve_batch_buckets`): lone requests pay the
+    # smallest compiled shape, not the full batch. A mesh-sharded serve
+    # program needs every shape divisible over the 'data' axis — buckets
+    # that don't divide are dropped with a warning.
+    buckets = []
+    spec = str(params.get("serve_batch_buckets", "")).strip()
+    if spec:
+        buckets = [int(tok) for tok in spec.split(",") if tok.strip()]
+    mesh = getattr(pipeline.trainer, "mesh", None)
+    if mesh is not None and not bool(params.get("spatial_serving", 0)):
+        n_dev = mesh.devices.size
+        bad = [b for b in buckets if b % n_dev]
+        if bad:
+            logger.warning(
+                "serve_batch_buckets %s dropped: not divisible by the "
+                "%d-device data mesh", bad, n_dev)
+        buckets = [b for b in buckets if b % n_dev == 0]
+    buckets = [b for b in buckets if 1 <= b <= batch]
+
     batcher = Microbatcher(
         serve, preprocess, batch,
         category_ids=CATEGORY_IDS,
         category_layers=pipeline.category_layers,
-        max_wait_ms=max_wait_ms)
-    # warm: compile the program before accepting traffic (first compile is
-    # tens of seconds via remote-compile; health checks pass once warm)
-    warm = np.zeros((batch, tile[0], tile[1], 3), np.uint8)
-    serve.collect(serve.dispatch(preprocess(warm)))
-    info = {"batch_size": batch, "image_hw": list(tile),
+        max_wait_ms=max_wait_ms,
+        bucket_sizes=buckets)
+    # warm: compile every bucket's program before accepting traffic (first
+    # compile is tens of seconds via remote-compile; health checks pass
+    # once warm)
+    for b in batcher._buckets:
+        warm = np.zeros((b, tile[0], tile[1], 3), np.uint8)
+        serve.collect(serve.dispatch(preprocess(warm)))
+    info = {"batch_size": batch, "batch_buckets": batcher._buckets,
+            "image_hw": list(tile),
             "loader_mode": pipeline.loader.mode,
             "platform": jax.devices()[0].platform,
             "pipeline": type(pipeline).__name__}

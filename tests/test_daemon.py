@@ -262,3 +262,49 @@ def test_submit_has_default_timeout():
         b2.close()
     finally:
         b.close()
+
+
+def test_bucket_selection_pads_to_smallest_fit():
+    """Buckets [1, 4]: a lone request runs the batch-1 program (zero pad);
+    a burst of 3 pads to 4 — and both give the offline path's annotations."""
+    serve = FusedServe(_probs_fn, _params, **POST)
+    b = Microbatcher(serve, _preprocess, 4, category_ids=CAT_IDS,
+                     category_layers=CAT_LAYERS, max_wait_ms=200.0,
+                     bucket_sizes=[1])
+    imgs = _images(4, seed=21)
+    try:
+        got = b.submit(imgs[0], timeout=60)
+        _assert_same_annotations(got, _expected(imgs[0]))
+        assert b.stats["bucket_batches"]["1"] == 1
+        assert b.stats["images_padded"] == 0
+
+        results = [None] * 3
+
+        def call(i):
+            results[i] = b.submit(imgs[1 + i], timeout=120)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        b.close()
+    for i in range(3):
+        _assert_same_annotations(results[i], _expected(imgs[1 + i]))
+    # the burst formed batches only from the [1, 4] shapes; any padding
+    # counted against the bucket actually dispatched
+    assert set(b.stats["bucket_batches"]) == {"1", "4"}
+    dispatched = sum(int(k) * v for k, v in b.stats["bucket_batches"].items())
+    assert dispatched == b.stats["requests"] + b.stats["images_padded"]
+
+
+def test_bucket_sizes_validated():
+    serve = FusedServe(_probs_fn, _params, **POST)
+    for bad in ([0], [8]):
+        try:
+            Microbatcher(serve, _preprocess, 4, category_ids=CAT_IDS,
+                         category_layers=CAT_LAYERS, bucket_sizes=bad)
+            assert False, f"{bad} accepted"
+        except ValueError:
+            pass
