@@ -222,3 +222,44 @@ def test_evaluate_quantized_serving_close_to_float(workspace):
                                            "quant_calib_images": 4})
     ap_q, _ = manager_q.evaluate("unet", dev_mode=False, chunk_size=None)
     assert ap_q > ap_float - 0.05, (ap_q, ap_float)
+
+
+def test_serving_daemon_through_mesh_drops_indivisible_buckets(workspace):
+    """Daemon over a data_parallel=1 pipeline on the 8-device CPU mesh:
+    bucket sizes that don't divide over the 'data' axis are dropped (a
+    shard_map program can't run them), the full batch shape still serves,
+    and a posted tile comes back with the same annotation schema."""
+    import glob
+    import json
+    import urllib.request
+
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.daemon import daemon_from_pipeline
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"data_parallel": 1,
+                                         "batch_size_inference": 8,
+                                         "serve_batch_buckets": "1,2,8"})
+    pipeline = pl.PIPELINES["unet"]["inference"](manager.config)
+    assert pipeline.trainer.mesh is not None
+    daemon = daemon_from_pipeline(pipeline, manager.config, port=0,
+                                  max_wait_ms=1.0)
+    daemon.start_background()
+    try:
+        assert daemon.batcher._buckets == [8]  # 1 and 2 don't divide over 8
+        img_path = sorted(glob.glob(os.path.join(
+            workspace["data_dir"], "val", "images", "*")))[0]
+        with open(img_path, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{daemon.port}/v1/predict", data=body,
+            headers={"Content-Type": "image/jpeg", "X-Image-Id": "3"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+    finally:
+        daemon.shutdown()
+    anns = payload["annotations"]
+    assert anns and anns[0]["image_id"] == 3
+    assert daemon.batcher.stats["bucket_batches"] == {"8": 1}
+    assert daemon.batcher.stats["images_padded"] == 7
