@@ -224,6 +224,23 @@ def test_evaluate_quantized_serving_close_to_float(workspace):
     assert ap_q > ap_float - 0.05, (ap_q, ap_float)
 
 
+def test_evaluate_quantized_tta_composes(workspace):
+    """int8 PTQ + TTA in one program: `quantized_serving: 1` plugs the
+    quantized probs_fn into the same FusedServe that expands/inverts the TTA
+    variants, so the best-quality serving config also gets the int8 forward.
+    Quality must match the float TTA path on the fixture."""
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"])
+    ap_float, _ = manager.evaluate("unet_tta", dev_mode=False,
+                                   chunk_size=None)
+    manager_q = PipelineManager(workspace["config"],
+                                overrides={"quantized_serving": 1,
+                                           "quant_calib_images": 4})
+    ap_q, _ = manager_q.evaluate("unet_tta", dev_mode=False, chunk_size=None)
+    assert ap_q > ap_float - 0.05, (ap_q, ap_float)
+
+
 def test_serving_daemon_through_mesh_drops_indivisible_buckets(workspace):
     """Daemon over a data_parallel=1 pipeline on the 8-device CPU mesh:
     bucket sizes that don't divide over the 'data' axis are dropped (a
