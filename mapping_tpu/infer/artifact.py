@@ -1,0 +1,294 @@
+"""AOT serving artifacts: the fused serve program, exported.
+
+`jax.export` serializes the WHOLE single-dispatch serving program —
+uint8 tiles -> device preprocess (resize/pad + normalize) -> forward
+(+TTA, +center-crop, int8 PTQ when configured) -> softmax -> fused
+postprocess -> int16 labels / scores / areas [/ features] — as a
+versioned StableHLO artifact plus a flat weight file. A deployment host
+loads it with `load_artifact()` and serves WITHOUT the model zoo, the
+pipeline graph, or a checkpoint: no retracing, no Python model code, no
+risk of config drift between the exporter and the server. This is the
+TPU-native analog of the TorchScript/ONNX export step a production
+torch service would run; the reference has no equivalent (its serving
+story is re-running `src/pipelines.py` with the full repo + weights
+directory at hand).
+
+Artifact directory layout:
+
+    manifest.json   geometry, batch buckets, dtypes, platforms, versions
+    params.npz      flattened params leaves (bf16 stored as uint16 views)
+    serve_b{B}.bin  serialized program, one per batch bucket
+
+The exported program is the artifact's contract: anything baked at trace
+time (TTA specs, postprocess geometry, quantization scales, the CCL
+backend chosen for the export platform) is frozen.
+
+Numerics: on CPU the replay is bit-equal to the live program. On TPU the
+StableHLO roundtrip recompiles into a (validly) different XLA schedule,
+so bf16 forward numerics differ by ulps — measured on the round-3 soak
+model (ResNet101, 256 px, 16 tiles): probability delta max 5.5e-3 /
+mean 9.5e-6 vs the identically-traced live program, 24 of 2.88 M
+threshold pixels flipped, identical per-image instance counts, scores
+within 5e-3. Same class of divergence as two cuDNN algorithm choices;
+instance-level results are stable. Batch-shape buckets
+mirror the online daemon's (`serve_batch_buckets`): each bucket is one
+serialized program, and `ArtifactServe` pads a request batch up to the
+smallest bucket that fits. Overflow semantics differ from the live
+FusedServe in ONE way: a fixed program cannot re-jit a wider instance
+pad, so images whose component count exceeds `max_instances` keep the
+documented tail-drop behavior with a warning instead of escalating
+(infer/serving.py FusedServe.collect escalates; the manifest records the
+pad so deployments can export a wider one).
+"""
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from mapping_tpu.utils.logging import get_logger
+
+logger = get_logger()
+
+ARTIFACT_VERSION = 1
+_MANIFEST = "manifest.json"
+_PARAMS = "params.npz"
+
+
+def _program_file(batch: int) -> str:
+    return f"serve_b{batch}.bin"
+
+
+def _save_leaves(path: str, leaves) -> Sequence[str]:
+    """Flat leaf save; returns per-leaf dtype strings. bfloat16 is not a
+    numpy-native dtype, so those leaves are stored as uint16 bit views and
+    restored via ml_dtypes on load."""
+    arrays = {}
+    dtypes = []
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        dtypes.append(str(arr.dtype))
+        if arr.dtype.name == "bfloat16":
+            arr = arr.view(np.uint16)
+        arrays[f"leaf_{i:05d}"] = arr
+    np.savez(path, **arrays)
+    return dtypes
+
+
+def _load_leaves(path: str, dtypes: Sequence[str]):
+    import ml_dtypes
+
+    with np.load(path) as npz:
+        leaves = []
+        for i, dtype in enumerate(dtypes):
+            arr = npz[f"leaf_{i:05d}"]
+            if dtype == "bfloat16":
+                arr = arr.view(ml_dtypes.bfloat16)
+            leaves.append(arr)
+    return leaves
+
+
+def _bucket_sizes(params) -> Sequence[int]:
+    """The daemon's bucket parse (`serve_batch_buckets`) + the full batch."""
+    batch = int(params.batch_size_inference)
+    buckets = {batch}
+    spec = str(params.get("serve_batch_buckets", "")).strip()
+    if spec:
+        for tok in spec.split(","):
+            if tok.strip():
+                b = int(tok)
+                if 1 <= b <= batch:
+                    buckets.add(b)
+    return sorted(buckets)
+
+
+def export_serving_artifact(pipeline, config, out_dir: str,
+                            platforms: Optional[Sequence[str]] = None):
+    """Export `pipeline`'s FusedServe program to `out_dir`; returns the
+    manifest dict.
+
+    platforms: lowering targets (e.g. ("tpu", "cpu")); default = the
+    current backend. Trace-time platform branches (the CCL backend pick,
+    ops/ccl.py:144) follow the EXPORTING process's backend either way —
+    export on the platform class you deploy to.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if not hasattr(pipeline, "trainer"):
+        raise ValueError(
+            f"export supports the segmentation pipelines (unet*); "
+            f"{type(pipeline).__name__} layers host-side scoring-model "
+            "rescoring + NMS on top, which is not a device program")
+    if not os.path.exists(pipeline.trainer_cache_path):
+        raise RuntimeError(
+            f"no trained model at {pipeline.trainer_cache_path}; train first")
+    if not getattr(pipeline, "_weights_loaded", False):
+        pipeline.trainer.load(pipeline.trainer_cache_path)
+        pipeline._weights_loaded = True
+
+    serve = pipeline.serve_program()
+    cfg = config.params
+    tile = (int(cfg.crop_image_h), int(cfg.crop_image_w))
+    preprocess = pipeline.loader.infer_preprocess
+    body = serve._body(serve._base_max_instances)
+    params = serve._get_params()
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+
+    def program(leaves, images_u8):
+        p = jax.tree_util.tree_unflatten(treedef, leaves)
+        return body(p, preprocess(images_u8))
+
+    backend = jax.default_backend()
+    disabled = []
+    if backend in ("tpu", "axon") or (platforms and "tpu" in platforms):
+        # the Pallas CCL kernel lowers to a tpu_custom_call, which export's
+        # stability allowlist rejects by default; the kernel ships with this
+        # package, so same-major-version replay is the supported contract
+        disabled = [jexport.DisabledSafetyCheck.custom_call(
+            "tpu_custom_call")]
+
+    os.makedirs(out_dir, exist_ok=True)
+    leaf_specs = [jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
+                  for l in leaves]
+    buckets = _bucket_sizes(cfg)
+    out_names = ["labels_i16", "scores", "areas"]
+    if serve._compute_features:
+        out_names.append("features")
+    for batch in buckets:
+        img_spec = jax.ShapeDtypeStruct((batch,) + tile + (3,), jnp.uint8)
+        exp = jexport.export(jax.jit(program), platforms=platforms,
+                             disabled_checks=disabled)(leaf_specs, img_spec)
+        path = os.path.join(out_dir, _program_file(batch))
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        logger.info("exported %s (%s)", path, " x ".join(
+            str(d) for d in (batch,) + tile))
+
+    dtypes = _save_leaves(os.path.join(out_dir, _PARAMS), leaves)
+    manifest = {
+        "artifact_version": ARTIFACT_VERSION,
+        "jax_version": jax.__version__,
+        "platforms": list(exp.platforms),
+        "exported_on_backend": backend,
+        "disabled_safety_checks": [str(d) for d in disabled],
+        "batch_buckets": buckets,
+        "image_hw": list(tile),
+        "input_dtype": "uint8",
+        "outputs": out_names,
+        "leaf_dtypes": list(dtypes),
+        "target_size": list(serve._post["target_size"]),
+        "category_layers": list(serve._post["category_layers"]),
+        "max_instances": serve._base_max_instances,
+        "tta_variants": len(serve._tta_specs) if serve._tta_specs else 0,
+        "quantized": bool(cfg.get("quantized_serving", 0)),
+        "loader_mode": pipeline.loader.mode,
+        "pipeline": type(pipeline).__name__,
+        "encoder": str(cfg.encoder),
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+class ArtifactServe:
+    """A loaded artifact: callable (B, H, W, 3) uint8 -> numpy
+    (labels (B, L, th, tw) int16, scores, areas [, features]).
+
+    Pads a batch up to the smallest exported bucket and trims the outputs
+    back; batches larger than the biggest bucket run in bucket-size chunks.
+    """
+
+    def __init__(self, directory: str):
+        from jax import export as jexport
+
+        with open(os.path.join(directory, _MANIFEST)) as f:
+            self.manifest = json.load(f)
+        if self.manifest["artifact_version"] != ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact version {self.manifest['artifact_version']} != "
+                f"supported {ARTIFACT_VERSION}")
+        self._leaves = _load_leaves(os.path.join(directory, _PARAMS),
+                                    self.manifest["leaf_dtypes"])
+        self._programs = {}
+        for batch in self.manifest["batch_buckets"]:
+            with open(os.path.join(directory, _program_file(batch)),
+                      "rb") as f:
+                self._programs[batch] = jexport.deserialize(f.read())
+        self._buckets = sorted(self._programs)
+        self._warned_overflow = False
+
+    @property
+    def image_hw(self):
+        return tuple(self.manifest["image_hw"])
+
+    def _run(self, images_u8):
+        batch = images_u8.shape[0]
+        bucket = next((b for b in self._buckets if b >= batch),
+                      self._buckets[-1])
+        pad = bucket - batch
+        if pad:
+            images_u8 = np.concatenate(
+                [images_u8, np.repeat(images_u8[-1:], pad, axis=0)])
+        outs = self._programs[bucket].call(self._leaves, images_u8)
+        return [np.asarray(o)[:batch] for o in outs]
+
+    def __call__(self, images_u8):
+        images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
+        if images_u8.ndim != 4 or images_u8.shape[-1] != 3:
+            raise ValueError(f"expected (B, H, W, 3) uint8, got "
+                             f"{images_u8.shape}")
+        if images_u8.shape[1:3] != self.image_hw:
+            raise ValueError(
+                f"artifact expects {self.image_hw} tiles, got "
+                f"{images_u8.shape[1:3]} (resize on host first)")
+        top = self._buckets[-1]
+        chunks = [self._run(images_u8[i:i + top])
+                  for i in range(0, images_u8.shape[0], top)]
+        outs = [np.concatenate(parts) for parts in zip(*chunks)]
+        max_inst = int(self.manifest["max_instances"])
+        counts = outs[0].max(axis=(1, 2, 3), initial=0)
+        if counts.max(initial=0) > max_inst and not self._warned_overflow:
+            self._warned_overflow = True
+            logger.warning(
+                "artifact serve: component count %d exceeds the exported "
+                "instance pad %d; tail instances dropped (a live FusedServe "
+                "escalates — export with a wider max_instances for such "
+                "scenes)", int(counts.max()), max_inst)
+        return tuple(outs)
+
+    # -- async pair for the serving daemon (FusedServe.dispatch/collect
+    #    protocol, infer/serving.py:187): dispatch returns un-pulled device
+    #    arrays (JAX async dispatch), collect syncs them — so the daemon's
+    #    double-buffered loop works identically over an artifact.
+    def dispatch(self, images_u8):
+        images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
+        batch = images_u8.shape[0]
+        if batch not in self._programs:
+            raise ValueError(f"no exported program for batch {batch}; "
+                             f"buckets: {self._buckets}")
+        return self._programs[batch].call(self._leaves, images_u8)
+
+    def collect(self, handle):
+        return tuple(np.asarray(o) for o in handle)
+
+    def annotations(self, image_id: int, labels, scores,
+                    category_ids=None):
+        """COCO annotations for one image's outputs (the daemon's response
+        conversion, infer/annotations.py labeled_to_annotations)."""
+        from mapping_tpu.constants import CATEGORY_IDS
+        from mapping_tpu.infer.annotations import labeled_to_annotations
+
+        return labeled_to_annotations(
+            image_id, np.asarray(labels), np.asarray(scores),
+            category_ids or CATEGORY_IDS,
+            self.manifest["category_layers"])
+
+
+def load_artifact(directory: str) -> ArtifactServe:
+    if not os.path.exists(os.path.join(directory, _MANIFEST)):
+        raise FileNotFoundError(
+            f"no serving artifact at {directory} (missing {_MANIFEST})")
+    return ArtifactServe(directory)

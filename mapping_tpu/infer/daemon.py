@@ -434,3 +434,38 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
             "platform": jax.devices()[0].platform,
             "pipeline": type(pipeline).__name__}
     return ServingDaemon(batcher, tile, info, host=host, port=port)
+
+
+def daemon_from_artifact(directory, host="127.0.0.1", port=8000,
+                         max_wait_ms=5.0):
+    """Build the daemon from an exported AOT artifact (CLI
+    `serve --artifact DIR`): no model zoo, pipeline graph, config, or
+    checkpoint on the serving host — the artifact's programs already
+    contain the device preprocess, so the batcher's preprocess is the
+    identity and the batch buckets are the artifact's exported shapes
+    (infer/artifact.py)."""
+    import jax
+
+    from mapping_tpu.constants import CATEGORY_IDS
+    from mapping_tpu.infer.artifact import load_artifact
+
+    art = load_artifact(directory)
+    manifest = art.manifest
+    tile = art.image_hw
+    buckets = list(manifest["batch_buckets"])
+    batcher = Microbatcher(
+        art, lambda images: images, max(buckets),
+        category_ids=CATEGORY_IDS,
+        category_layers=manifest["category_layers"],
+        max_wait_ms=max_wait_ms,
+        bucket_sizes=buckets)
+    for b in buckets:  # warm: first .call per shape compiles the program
+        art.collect(art.dispatch(np.zeros((b,) + tile + (3,), np.uint8)))
+    info = {"batch_size": max(buckets), "batch_buckets": buckets,
+            "image_hw": list(tile),
+            "loader_mode": manifest["loader_mode"],
+            "platform": jax.devices()[0].platform,
+            "pipeline": manifest["pipeline"],
+            "artifact": str(directory),
+            "artifact_platforms": manifest["platforms"]}
+    return ServingDaemon(batcher, tile, info, host=host, port=port)

@@ -4,10 +4,13 @@ Commands: prepare_masks, prepare_metadata, train, evaluate, predict_on_dir,
 train_evaluate, with flags -p/--pipeline_name, -d/--dev_mode,
 -c/--chunk_size, --dir_path, --prediction_path. Config comes from
 $CONFIG_PATH or --config. Beyond the reference surface: `serve` starts the
-online HTTP serving daemon (infer/daemon.py).
+online HTTP serving daemon (infer/daemon.py); `export` writes the fused
+serving program as an AOT jax.export artifact (infer/artifact.py).
 
     python -m mapping_tpu.main train -p unet_weighted -d
 """
+
+import json
 
 import click
 
@@ -76,21 +79,53 @@ def predict_on_dir(manager, pipeline_name, dir_path, prediction_path,
 
 @main.command(name="serve")
 @click.option("-p", "--pipeline_name", default="unet")
+@click.option("--artifact", "artifact_dir", default=None,
+              help="serve an exported AOT artifact directory instead of a "
+                   "pipeline (no checkpoint/model code needed)")
 @click.option("--host", default="127.0.0.1")
 @click.option("--port", type=int, default=8000)
 @click.option("--max_wait_ms", type=float, default=5.0,
               help="microbatch coalescing window after the first request")
 @click.pass_obj
-def serve(manager, pipeline_name, host, port, max_wait_ms):
+def serve(manager, pipeline_name, artifact_dir, host, port, max_wait_ms):
     """Online serving: microbatched fused inference over HTTP
     (POST /v1/predict with JPEG/PNG/.npy bytes -> COCO annotations)."""
-    from mapping_tpu.infer.daemon import daemon_from_pipeline
+    if artifact_dir:
+        from mapping_tpu.infer.daemon import daemon_from_artifact
+
+        daemon = daemon_from_artifact(artifact_dir, host=host, port=port,
+                                      max_wait_ms=max_wait_ms)
+    else:
+        from mapping_tpu.infer.daemon import daemon_from_pipeline
+        from mapping_tpu.pipelines import PIPELINES
+
+        pipeline = PIPELINES[pipeline_name]["inference"](manager.config)
+        daemon = daemon_from_pipeline(pipeline, manager.config, host=host,
+                                      port=port, max_wait_ms=max_wait_ms)
+    daemon.serve_forever()
+
+
+@main.command(name="export")
+@click.option("-p", "--pipeline_name", default="unet")
+@click.option("--dir_path", required=True,
+              help="output directory for the serving artifact")
+@click.option("--platforms", default=None,
+              help="comma-separated lowering targets (e.g. 'tpu,cpu'); "
+                   "default = the current backend")
+@click.pass_obj
+def export_cmd(manager, pipeline_name, dir_path, platforms):
+    """Export the fused serving program as an AOT artifact
+    (jax.export StableHLO + weights + manifest — servable via
+    infer.artifact.load_artifact with no model code or checkpoint)."""
+    from mapping_tpu.infer.artifact import export_serving_artifact
     from mapping_tpu.pipelines import PIPELINES
 
     pipeline = PIPELINES[pipeline_name]["inference"](manager.config)
-    daemon = daemon_from_pipeline(pipeline, manager.config, host=host,
-                                  port=port, max_wait_ms=max_wait_ms)
-    daemon.serve_forever()
+    plats = ([p.strip() for p in platforms.split(",") if p.strip()]
+             if platforms else None)
+    manifest = export_serving_artifact(pipeline, manager.config, dir_path,
+                                       platforms=plats)
+    click.echo(json.dumps(manifest, indent=1))
 
 
 @main.command(name="train_evaluate")

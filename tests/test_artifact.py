@@ -1,0 +1,240 @@
+"""AOT serving artifacts (infer/artifact.py): export the fused serve
+program with jax.export, reload it with no model code, and get bit-equal
+outputs — plus bucket padding/chunking and the frozen-pad overflow
+contract."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tests.fixtures.synthetic import generate
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("artifact")
+    data_dir = os.path.join(str(root), "data")
+    generate(data_dir, n_train=6, n_val=4, seed=33)
+    params = {
+        "data_dir": data_dir,
+        "meta_dir": os.path.join(str(root), "meta"),
+        "experiment_dir": os.path.join(str(root), "experiment"),
+        "encoder": "from_scratch",
+        "n_filters": 8,
+        "repeat_blocks": 2,
+        "image_h": 64,
+        "image_w": 64,
+        "batch_size_train": 4,
+        "batch_size_inference": 4,
+        "epochs_nr": 4,
+        "lr": 0.003,
+        "gamma": 1.0,
+        "patience": 100,
+        "validate_with_map": 0,
+        "dice_smooth": 1,
+    }
+    config_path = os.path.join(str(root), "config.yaml")
+    with open(config_path, "w") as f:
+        yaml.safe_dump({"parameters": params}, f)
+
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(config_path)
+    manager.prepare_masks(dev_mode=False)
+    manager.prepare_metadata(train_data=True, valid_data=True)
+    manager.train("unet", dev_mode=False)
+    return {"root": str(root), "config": config_path, "data_dir": data_dir}
+
+
+def _pipeline(config_path, overrides=None):
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(config_path, overrides=overrides or {})
+    pipeline = pl.PIPELINES["unet"]["inference"](manager.config)
+    return manager, pipeline
+
+
+def _tiles(n, hw, seed=0):
+    rng = np.random.RandomState(seed)
+    base = (rng.rand(n, hw[0], hw[1], 3) * 80).astype(np.uint8)
+    for i in range(n):
+        y, x = rng.randint(4, hw[0] - 24, 2)
+        base[i, y:y + 16, x:x + 16] += 120
+    return base
+
+
+def _live_outputs(pipeline, tiles):
+    serve = pipeline.serve_program()
+    return serve(pipeline.loader.infer_preprocess(tiles))
+
+
+def test_export_load_bit_equal(workspace, tmp_path):
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    manifest = export_serving_artifact(pipeline, manager.config, out)
+
+    assert manifest["batch_buckets"] == [1, 4]  # default buckets "1" + batch
+    assert manifest["outputs"] == ["labels_i16", "scores", "areas"]
+    assert os.path.exists(os.path.join(out, "serve_b4.bin"))
+    assert os.path.exists(os.path.join(out, "params.npz"))
+
+    art = load_artifact(out)
+    tiles = _tiles(4, art.image_hw)
+    got = art(tiles)
+    want = _live_outputs(pipeline, tiles)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, np.asarray(w))
+    assert got[0].dtype == np.int16
+
+
+def test_bucket_padding_and_chunking(workspace, tmp_path):
+    """A 3-image batch pads to the 4-bucket; a 9-image batch runs as
+    4+4+1 chunks (the 1-bucket serving the tail) — outputs per image match
+    the live program regardless of how the artifact chunked them."""
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    export_serving_artifact(pipeline, manager.config, out)
+    art = load_artifact(out)
+
+    tiles = _tiles(9, art.image_hw, seed=5)
+    got = art(tiles)
+    assert got[0].shape[0] == 9
+    want = _live_outputs(pipeline, tiles)
+    np.testing.assert_array_equal(got[0], np.asarray(want[0]))
+    np.testing.assert_array_equal(got[1], np.asarray(want[1]))
+
+    got3 = art(tiles[:3])
+    np.testing.assert_array_equal(got3[0], got[0][:3])
+
+
+def test_quantized_export_matches_live_quantized(workspace, tmp_path):
+    """`quantized_serving: 1` exports the int8-overlaid program (packed
+    scales + int8 weights ride in params.npz)."""
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+
+    manager, pipeline = _pipeline(workspace["config"],
+                                  overrides={"quantized_serving": 1,
+                                             "quant_calib_images": 4})
+    out = str(tmp_path / "artifact_q")
+    manifest = export_serving_artifact(pipeline, manager.config, out)
+    assert manifest["quantized"] is True
+
+    art = load_artifact(out)
+    tiles = _tiles(4, art.image_hw, seed=7)
+    got = art(tiles)
+    want = _live_outputs(pipeline, tiles)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, np.asarray(w))
+
+
+def test_annotations_roundtrip(workspace, tmp_path):
+    """Artifact outputs convert to the same COCO annotation schema the
+    daemon returns."""
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    export_serving_artifact(pipeline, manager.config, out)
+    art = load_artifact(out)
+    import glob
+
+    from PIL import Image
+
+    img_path = sorted(glob.glob(os.path.join(
+        workspace["data_dir"], "val", "images", "*")))[0]
+    tile = np.asarray(Image.open(img_path).convert("RGB").resize(
+        (art.image_hw[1], art.image_hw[0])), dtype=np.uint8)
+    labels, scores, areas = art(tile[None])
+    anns = art.annotations(7, labels[0], scores[0])
+    assert anns, "trained artifact found no buildings on a fixture tile"
+    assert {"image_id", "category_id", "score", "segmentation",
+            "bbox"} <= set(anns[0])
+    assert anns[0]["image_id"] == 7
+
+
+def test_daemon_from_artifact(workspace, tmp_path):
+    """The `serve --artifact` path: HTTP daemon over a loaded artifact —
+    no pipeline, config, or checkpoint — returns the same annotations the
+    artifact's own conversion produces, and a lone request runs the
+    1-bucket program."""
+    import glob
+    import urllib.request
+
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+    from mapping_tpu.infer.daemon import daemon_from_artifact
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    export_serving_artifact(pipeline, manager.config, out)
+
+    daemon = daemon_from_artifact(out, port=0, max_wait_ms=1.0)
+    daemon.start_background()
+    try:
+        assert daemon.batcher._buckets == [1, 4]
+        img_path = sorted(glob.glob(os.path.join(
+            workspace["data_dir"], "val", "images", "*")))[0]
+        with open(img_path, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{daemon.port}/v1/predict", data=body,
+            headers={"Content-Type": "image/jpeg", "X-Image-Id": "5"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+    finally:
+        daemon.shutdown()
+    anns = payload["annotations"]
+    assert anns and anns[0]["image_id"] == 5
+    assert daemon.batcher.stats["bucket_batches"]["1"] == 1
+
+    # oracle: the artifact called directly on the same decoded tile
+    from PIL import Image
+
+    art = load_artifact(out)
+    tile = np.asarray(Image.open(img_path).convert("RGB").resize(
+        (art.image_hw[1], art.image_hw[0])), dtype=np.uint8)
+    labels, scores, _ = art(tile[None])
+    want = art.annotations(5, labels[0], scores[0])
+    assert [a["segmentation"] for a in anns] == \
+        [a["segmentation"] for a in want]
+
+
+def test_input_validation_and_version_gate(workspace, tmp_path):
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    export_serving_artifact(pipeline, manager.config, out)
+    art = load_artifact(out)
+
+    with pytest.raises(ValueError, match="tiles"):
+        art(np.zeros((1, 32, 32, 3), np.uint8))
+    with pytest.raises(ValueError, match="uint8"):
+        art(np.zeros((64, 64, 3), np.uint8))
+    with pytest.raises(FileNotFoundError):
+        load_artifact(str(tmp_path / "nope"))
+
+    manifest_path = os.path.join(out, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    manifest["artifact_version"] = 999
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="version"):
+        load_artifact(out)
