@@ -31,3 +31,12 @@ def test_serve_command():
     assert "serve" in result.output
     out = runner.invoke(main, ["serve", "--help"]).output
     assert "--port" in out and "--max_wait_ms" in out and "--host" in out
+    assert "--artifact" in out
+
+
+def test_export_command():
+    runner = CliRunner()
+    result = runner.invoke(main, ["--help"])
+    assert "export" in result.output
+    out = runner.invoke(main, ["export", "--help"]).output
+    assert "--dir_path" in out and "--platforms" in out
