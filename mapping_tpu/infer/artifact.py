@@ -18,6 +18,10 @@ Artifact directory layout:
     manifest.json   geometry, batch buckets, dtypes, platforms, versions
     params.npz      flattened params leaves (bf16 stored as uint16 views)
     serve_b{B}.bin  serialized program, one per batch bucket
+    scoring_model.joblib  (scoring exports only) the fitted GBM regressor;
+                    the exported program then also emits the per-instance
+                    feature tensor and `converter()` rebuilds the host
+                    rescore+NMS chain from the bundle
 
 The exported program is the artifact's contract: anything baked at trace
 time (TTA specs, postprocess geometry, quantization scales, the CCL
@@ -54,6 +58,7 @@ logger = get_logger()
 ARTIFACT_VERSION = 1
 _MANIFEST = "manifest.json"
 _PARAMS = "params.npz"
+_SCORING_MODEL = "scoring_model.joblib"
 
 
 def _program_file(batch: int) -> str:
@@ -90,17 +95,11 @@ def _load_leaves(path: str, dtypes: Sequence[str]):
 
 
 def _bucket_sizes(params) -> Sequence[int]:
-    """The daemon's bucket parse (`serve_batch_buckets`) + the full batch."""
-    batch = int(params.batch_size_inference)
-    buckets = {batch}
-    spec = str(params.get("serve_batch_buckets", "")).strip()
-    if spec:
-        for tok in spec.split(","):
-            if tok.strip():
-                b = int(tok)
-                if 1 <= b <= batch:
-                    buckets.add(b)
-    return sorted(buckets)
+    """One parser with the online daemon (daemon.py parse_serve_buckets),
+    so exports and live serving compile the same batch shapes."""
+    from mapping_tpu.infer.daemon import parse_serve_buckets
+
+    return parse_serve_buckets(params)
 
 
 def export_serving_artifact(pipeline, config, out_dir: str,
@@ -117,11 +116,13 @@ def export_serving_artifact(pipeline, config, out_dir: str,
     import jax.numpy as jnp
     from jax import export as jexport
 
-    if not hasattr(pipeline, "trainer"):
-        raise ValueError(
-            f"export supports the segmentation pipelines (unet*); "
-            f"{type(pipeline).__name__} layers host-side scoring-model "
-            "rescoring + NMS on top, which is not a device program")
+    from mapping_tpu.infer.daemon import unwrap_scoring_pipeline
+
+    # *_scoring_model pipelines export the feature-emitting device program
+    # plus the trained GBM regressor file; `load_artifact(...).converter()`
+    # / `serve --artifact` rebuild the host-side rescoring + NMS from the
+    # bundle (the device outputs gain a 4th tensor, features)
+    scoring, pipeline = unwrap_scoring_pipeline(pipeline, entry="export")
     if not os.path.exists(pipeline.trainer_cache_path):
         raise RuntimeError(
             f"no trained model at {pipeline.trainer_cache_path}; train first")
@@ -129,7 +130,7 @@ def export_serving_artifact(pipeline, config, out_dir: str,
         pipeline.trainer.load(pipeline.trainer_cache_path)
         pipeline._weights_loaded = True
 
-    serve = pipeline.serve_program()
+    serve = pipeline.serve_program(return_features=scoring is not None)
     cfg = config.params
     tile = (int(cfg.crop_image_h), int(cfg.crop_image_w))
     preprocess = pipeline.loader.infer_preprocess
@@ -168,6 +169,11 @@ def export_serving_artifact(pipeline, config, out_dir: str,
             str(d) for d in (batch,) + tile))
 
     dtypes = _save_leaves(os.path.join(out_dir, _PARAMS), leaves)
+    if scoring is not None:
+        import shutil
+
+        shutil.copyfile(scoring.cache_path,
+                        os.path.join(out_dir, _SCORING_MODEL))
     manifest = {
         "artifact_version": ARTIFACT_VERSION,
         "jax_version": jax.__version__,
@@ -185,9 +191,13 @@ def export_serving_artifact(pipeline, config, out_dir: str,
         "tta_variants": len(serve._tta_specs) if serve._tta_specs else 0,
         "quantized": bool(cfg.get("quantized_serving", 0)),
         "loader_mode": pipeline.loader.mode,
-        "pipeline": type(pipeline).__name__,
+        "pipeline": (type(scoring).__name__ if scoring is not None
+                     else type(pipeline).__name__),
         "encoder": str(cfg.encoder),
+        "scoring_model": scoring is not None,
     }
+    if scoring is not None:
+        manifest["nms_iou_threshold"] = float(scoring.nms.iou_threshold)
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
@@ -204,6 +214,7 @@ class ArtifactServe:
     def __init__(self, directory: str):
         from jax import export as jexport
 
+        self._dir = str(directory)
         with open(os.path.join(directory, _MANIFEST)) as f:
             self.manifest = json.load(f)
         if self.manifest["artifact_version"] != ARTIFACT_VERSION:
@@ -224,29 +235,43 @@ class ArtifactServe:
     def image_hw(self):
         return tuple(self.manifest["image_hw"])
 
-    def _run(self, images_u8):
+    def _dispatch_chunk(self, images_u8):
+        """Async-dispatch one chunk (jax dispatches eagerly and returns
+        un-pulled arrays); pair with _collect_chunk — __call__ keeps one
+        chunk in flight so D2H of chunk k overlaps compute of k+1, the same
+        pattern as FusedServe.dispatch/collect."""
         batch = images_u8.shape[0]
-        bucket = next((b for b in self._buckets if b >= batch),
-                      self._buckets[-1])
+        bucket = next(b for b in self._buckets if b >= batch)
         pad = bucket - batch
         if pad:
             images_u8 = np.concatenate(
                 [images_u8, np.repeat(images_u8[-1:], pad, axis=0)])
-        outs = self._programs[bucket].call(self._leaves, images_u8)
+        return self._programs[bucket].call(self._leaves, images_u8), batch
+
+    @staticmethod
+    def _collect_chunk(handle):
+        outs, batch = handle
         return [np.asarray(o)[:batch] for o in outs]
 
     def __call__(self, images_u8):
         images_u8 = np.ascontiguousarray(images_u8, dtype=np.uint8)
-        if images_u8.ndim != 4 or images_u8.shape[-1] != 3:
-            raise ValueError(f"expected (B, H, W, 3) uint8, got "
+        if images_u8.ndim != 4 or images_u8.shape[-1] != 3 \
+                or images_u8.shape[0] == 0:
+            raise ValueError(f"expected non-empty (B, H, W, 3) uint8, got "
                              f"{images_u8.shape}")
         if images_u8.shape[1:3] != self.image_hw:
             raise ValueError(
                 f"artifact expects {self.image_hw} tiles, got "
                 f"{images_u8.shape[1:3]} (resize on host first)")
         top = self._buckets[-1]
-        chunks = [self._run(images_u8[i:i + top])
-                  for i in range(0, images_u8.shape[0], top)]
+        chunks = []
+        pending = None
+        for i in range(0, images_u8.shape[0], top):
+            handle = self._dispatch_chunk(images_u8[i:i + top])
+            if pending is not None:
+                chunks.append(self._collect_chunk(pending))
+            pending = handle
+        chunks.append(self._collect_chunk(pending))
         outs = [np.concatenate(parts) for parts in zip(*chunks)]
         max_inst = int(self.manifest["max_instances"])
         counts = outs[0].max(axis=(1, 2, 3), initial=0)
@@ -273,6 +298,22 @@ class ArtifactServe:
 
     def collect(self, handle):
         return tuple(np.asarray(o) for o in handle)
+
+    def converter(self):
+        """convert(image_id, outs, i) -> annotations for image i of a
+        collected batch (the daemon's Microbatcher protocol), or None for
+        the plain labels/scores conversion. When the artifact was exported
+        from a *_scoring_model pipeline, the bundled GBM regressor +
+        cross-layer NMS run per image on the feature tensor the program
+        emits as its 4th output."""
+        if not self.manifest.get("scoring_model"):
+            return None
+        from mapping_tpu.infer.daemon import scoring_convert_fn
+        from mapping_tpu.scoring import load_scoring_model
+
+        model = load_scoring_model(os.path.join(self._dir, _SCORING_MODEL))
+        return scoring_convert_fn(model, self.manifest["category_layers"],
+                                  self.manifest["nms_iou_threshold"])
 
     def annotations(self, image_id: int, labels, scores,
                     category_ids=None):

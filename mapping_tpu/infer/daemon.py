@@ -76,10 +76,15 @@ class Microbatcher:
                  category_layers: Sequence[int],
                  max_wait_ms: float = 5.0,
                  request_timeout: float = 300.0,
-                 bucket_sizes: Optional[Sequence[int]] = None):
+                 bucket_sizes: Optional[Sequence[int]] = None,
+                 convert=None):
         self._serve = serve
         self._preprocess = preprocess
         self._batch = int(batch_size)
+        # convert(image_id, outs, i) -> annotations for image i of a collected
+        # batch; None = plain labels/scores conversion. The scoring daemon
+        # plugs per-image GBM rescoring + NMS in here (daemon_from_pipeline).
+        self._convert = convert or self._convert_plain
         # batch-shape buckets: a request batch pads up to the SMALLEST
         # compiled shape that fits, so a lone low-traffic request pays a
         # batch-1 program (one image of H2D + forward + D2H), not the full
@@ -208,24 +213,58 @@ class Microbatcher:
             handle, batch = item
             try:
                 outs = self._serve.collect(handle)
-                labels_b, scores_b = outs[0], outs[1]
-                for i, p in enumerate(batch):
-                    p.annotations = labeled_to_annotations(
-                        p.image_id, np.asarray(labels_b[i]),
-                        np.asarray(scores_b[i]),
-                        self._cat_ids, self._cat_layers)
-                    p.done.set()
-                self.stats["requests"] += len(batch)
-                self.stats["batches"] += 1
             except Exception as exc:  # noqa: BLE001 - report to callers
                 logger.exception("serve collector failed")
                 for p in batch:
                     p.error = repr(exc)
                     p.done.set()
+                continue
+            # per-image conversion failures (scoring rescore/NMS run here)
+            # fail ONLY their own request, not the whole batch
+            for i, p in enumerate(batch):
+                try:
+                    p.annotations = self._convert(p.image_id, outs, i)
+                except Exception as exc:  # noqa: BLE001
+                    logger.exception("annotation conversion failed for "
+                                     "image %s", p.image_id)
+                    p.error = repr(exc)
+                p.done.set()
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+
+    def _convert_plain(self, image_id, outs, i):
+        return labeled_to_annotations(
+            image_id, np.asarray(outs[0][i]), np.asarray(outs[1][i]),
+            self._cat_ids, self._cat_layers)
 
 
 class RequestError(ValueError):
     """Client-side problem with a request body (HTTP 400)."""
+
+
+def parse_serve_buckets(params):
+    """`serve_batch_buckets` -> sorted bucket list INCLUDING the full
+    `batch_size_inference` shape. One parser for the online daemon and the
+    artifact exporter, so both compile the same set of batch shapes.
+    Out-of-range entries are dropped WITH a warning (a typoed bucket that
+    vanished silently would quietly cost lone requests the full-batch
+    program the feature exists to avoid)."""
+    batch = int(params.batch_size_inference)
+    buckets = {batch}
+    dropped = []
+    spec = str(params.get("serve_batch_buckets", "")).strip()
+    if spec:
+        for tok in spec.split(","):
+            if tok.strip():
+                b = int(tok)
+                if 1 <= b <= batch:
+                    buckets.add(b)
+                else:
+                    dropped.append(b)
+    if dropped:
+        logger.warning("serve_batch_buckets %s dropped: outside "
+                       "[1, batch_size_inference=%d]", dropped, batch)
+    return sorted(buckets)
 
 
 def decode_request_image(body: bytes, content_type: str,
@@ -363,6 +402,64 @@ class ServingDaemon:
         self.batcher.close()
 
 
+def scoring_convert_fn(model, category_layers, iou_threshold):
+    """Per-image annotation converter for a scoring-model serve (the
+    Microbatcher `convert` protocol): the device program's 4th output is
+    the per-instance feature tensor; each image gets GBM IoU rescoring +
+    cross-layer NMS on host before the COCO conversion (the reference's
+    batch-only scoring chain, src/pipelines.py:341-392, applied per
+    image). Shared by the live daemon and artifact replay."""
+    from mapping_tpu.constants import CATEGORY_IDS
+    from mapping_tpu.scoring import (features_from_tensor,
+                                     remove_overlapping_masks)
+
+    category_layers = list(category_layers)
+    iou_threshold = float(iou_threshold)
+
+    def convert(image_id, outs, i):
+        labels = np.asarray(outs[0][i])
+        frames = features_from_tensor(
+            np.asarray(outs[3][i]), labels,
+            category_layers=category_layers)
+        scores = model.transform([frames])["scores"][0]
+        labels, scores = remove_overlapping_masks(
+            labels, scores, iou_threshold)
+        return labeled_to_annotations(image_id, labels, scores,
+                                      CATEGORY_IDS, category_layers)
+
+    return convert
+
+
+def unwrap_scoring_pipeline(pipeline, entry="serve"):
+    """(scoring_or_None, base_pipeline) for an inference pipeline that may
+    be a ScoringInferencePipeline; applies the same guards every offline
+    entry point enforces (manager.py evaluate/predict_on_dir) and loads
+    the trained scoring model. Raises on train-only pipelines."""
+    import os
+
+    if hasattr(pipeline, "trainer"):
+        return None, pipeline
+    if not (hasattr(pipeline, "nms") and hasattr(
+            getattr(pipeline, "base", None), "trainer")):
+        raise ValueError(
+            f"{entry} supports the segmentation pipelines (unet*) and "
+            f"their *_scoring_model variants; {type(pipeline).__name__} "
+            "is train-only")
+    cl = list(pipeline.category_layers)
+    if len(cl) < 2 or cl[1] <= 1:
+        # a GBM trained on 19 threshold layers scoring a [1, 1] program's
+        # features would serve quietly meaningless IoUs
+        raise ValueError(
+            f"{entry} with a scoring-model pipeline requires multiple "
+            "thresholds: set category_layers to [1, 19]")
+    if not os.path.exists(pipeline.cache_path):
+        raise RuntimeError(
+            f"no trained scoring model at {pipeline.cache_path}; "
+            "train -p scoring_model first")
+    pipeline.model.load(pipeline.cache_path)
+    return pipeline, pipeline.base
+
+
 def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
                          max_wait_ms=5.0):
     """Build the daemon from a trained inference pipeline: loads the
@@ -377,19 +474,25 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
 
     from mapping_tpu.constants import CATEGORY_IDS
 
-    if not hasattr(pipeline, "trainer"):
-        raise ValueError(
-            f"serve supports the segmentation pipelines (unet*); "
-            f"{type(pipeline).__name__} adds batch-mode scoring-model "
-            "rescoring + NMS on top, which the online daemon does not run — "
-            "serve the underlying unet pipeline instead")
+    # *_scoring_model pipelines (ScoringInferencePipeline): the device
+    # program additionally emits the per-instance feature tensor, and each
+    # image gets host-side GBM IoU rescoring + cross-layer NMS before the
+    # annotation conversion — the daemon serves the framework's
+    # best-quality configuration online (the reference's scoring path was
+    # batch-only, src/pipelines.py:341-392)
+    scoring, pipeline = unwrap_scoring_pipeline(pipeline, entry="serve")
     if not os.path.exists(pipeline.trainer_cache_path):
         raise RuntimeError(
             f"no trained model at {pipeline.trainer_cache_path}; train first")
     if not getattr(pipeline, "_weights_loaded", False):
         pipeline.trainer.load(pipeline.trainer_cache_path)
         pipeline._weights_loaded = True
-    serve = pipeline.serve_program()
+    serve = pipeline.serve_program(return_features=scoring is not None)
+    convert = None
+    if scoring is not None:
+        convert = scoring_convert_fn(scoring.model, scoring.category_layers,
+                                     scoring.nms.iou_threshold)
+
     params = config.params
     # canonical raw request shape = the dataset tile size the offline path
     # decodes (the loader then resizes or pads it on device, per mode)
@@ -401,27 +504,24 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
     # smallest compiled shape, not the full batch. A mesh-sharded serve
     # program needs every shape divisible over the 'data' axis — buckets
     # that don't divide are dropped with a warning.
-    buckets = []
-    spec = str(params.get("serve_batch_buckets", "")).strip()
-    if spec:
-        buckets = [int(tok) for tok in spec.split(",") if tok.strip()]
+    buckets = parse_serve_buckets(params)
     mesh = getattr(pipeline.trainer, "mesh", None)
     if mesh is not None and not bool(params.get("spatial_serving", 0)):
         n_dev = mesh.devices.size
-        bad = [b for b in buckets if b % n_dev]
+        bad = [b for b in buckets if b % n_dev and b != batch]
         if bad:
             logger.warning(
                 "serve_batch_buckets %s dropped: not divisible by the "
                 "%d-device data mesh", bad, n_dev)
-        buckets = [b for b in buckets if b % n_dev == 0]
-    buckets = [b for b in buckets if 1 <= b <= batch]
+        buckets = [b for b in buckets if b % n_dev == 0 or b == batch]
 
     batcher = Microbatcher(
         serve, preprocess, batch,
         category_ids=CATEGORY_IDS,
         category_layers=pipeline.category_layers,
         max_wait_ms=max_wait_ms,
-        bucket_sizes=buckets)
+        bucket_sizes=buckets,
+        convert=convert)
     # warm: compile every bucket's program before accepting traffic (first
     # compile is tens of seconds via remote-compile; health checks pass
     # once warm)
@@ -432,7 +532,9 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
             "image_hw": list(tile),
             "loader_mode": pipeline.loader.mode,
             "platform": jax.devices()[0].platform,
-            "pipeline": type(pipeline).__name__}
+            "scoring_model": scoring is not None,
+            "pipeline": (type(scoring).__name__ if scoring is not None
+                         else type(pipeline).__name__)}
     return ServingDaemon(batcher, tile, info, host=host, port=port)
 
 
@@ -458,14 +560,16 @@ def daemon_from_artifact(directory, host="127.0.0.1", port=8000,
         category_ids=CATEGORY_IDS,
         category_layers=manifest["category_layers"],
         max_wait_ms=max_wait_ms,
-        bucket_sizes=buckets)
+        bucket_sizes=buckets,
+        convert=art.converter())  # GBM rescore+NMS for scoring artifacts
     for b in buckets:  # warm: first .call per shape compiles the program
         art.collect(art.dispatch(np.zeros((b,) + tile + (3,), np.uint8)))
     info = {"batch_size": max(buckets), "batch_buckets": buckets,
             "image_hw": list(tile),
             "loader_mode": manifest["loader_mode"],
             "platform": jax.devices()[0].platform,
-            "pipeline": manifest["pipeline"],
+            "scoring_model": bool(manifest.get("scoring_model")),
+            "pipeline": manifest["pipeline"],  # daemon flavor
             "artifact": str(directory),
             "artifact_platforms": manifest["platforms"]}
     return ServingDaemon(batcher, tile, info, host=host, port=port)

@@ -301,6 +301,15 @@ class _ScoringModelBase:
         return self
 
 
+def load_scoring_model(filepath) -> "_ScoringModelBase":
+    """Inference-only load of a saved scoring model. `save()` persists just
+    the fitted estimator, and `transform` needs nothing else, so any
+    subclass's file replays through the base class — used by artifact
+    serving, which has no config to reconstruct the training-time class
+    from (infer/artifact.py ArtifactServe.converter)."""
+    return _ScoringModelBase().load(filepath)
+
+
 class ScoringGBM(_ScoringModelBase):
     """Gradient-boosted-trees IoU regressor (the 'lgbm' slot; lightgbm is
     not in this image). Primary engine: the native C++ histogram GBM

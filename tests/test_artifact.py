@@ -227,6 +227,8 @@ def test_input_validation_and_version_gate(workspace, tmp_path):
         art(np.zeros((1, 32, 32, 3), np.uint8))
     with pytest.raises(ValueError, match="uint8"):
         art(np.zeros((64, 64, 3), np.uint8))
+    with pytest.raises(ValueError, match="non-empty"):
+        art(np.zeros((0,) + art.image_hw + (3,), np.uint8))
     with pytest.raises(FileNotFoundError):
         load_artifact(str(tmp_path / "nope"))
 

@@ -308,3 +308,71 @@ def test_bucket_sizes_validated():
             assert False, f"{bad} accepted"
         except ValueError:
             pass
+
+
+def test_per_image_convert_failure_isolated():
+    """A convert exception for one image fails only that request; the other
+    requests in the same batch still get their annotations (the scoring
+    converter runs GBM + NMS per image — one bad image must not 500 the
+    whole batch)."""
+    import pytest
+
+    serve = FusedServe(_probs_fn, _params, **POST)
+    calls = {"n": 0}
+
+    def convert(image_id, outs, i):
+        if image_id == 1:
+            raise RuntimeError("boom for image 1")
+        calls["n"] += 1
+        return labeled_to_annotations(image_id, np.asarray(outs[0][i]),
+                                      np.asarray(outs[1][i]),
+                                      CAT_IDS, CAT_LAYERS)
+
+    imgs = _images(2, seed=11)
+    b = Microbatcher(serve, _preprocess, 2, category_ids=CAT_IDS,
+                     category_layers=CAT_LAYERS, max_wait_ms=200.0,
+                     convert=convert)
+    results = [None, None]
+    errors = [None, None]
+
+    def call(i):
+        try:
+            results[i] = b.submit(imgs[i], timeout=120, image_id=i)
+        except RuntimeError as exc:
+            errors[i] = exc
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        b.close()
+    assert results[0] is not None, "healthy request failed with the batch"
+    assert errors[1] is not None and "boom" in str(errors[1])
+    assert b.stats["requests"] == 2
+
+
+def test_parse_serve_buckets_warns_on_out_of_range():
+    import logging
+
+    from mapping_tpu.config import AttrDict
+    from mapping_tpu.infer.daemon import logger, parse_serve_buckets
+
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = Capture()
+    logger.addHandler(handler)
+    try:
+        params = AttrDict({"batch_size_inference": 8,
+                           "serve_batch_buckets": "1,2,16,0"})
+        buckets = parse_serve_buckets(params)
+    finally:
+        logger.removeHandler(handler)
+    assert buckets == [1, 2, 8]
+    assert any("dropped" in m for m in records)

@@ -72,3 +72,134 @@ def test_scoring_model_cycle(workspace):
                                  chunk_size=None)
     assert np.isfinite(ap) and np.isfinite(ar)
     assert ap > 0.2, f"scoring-pipeline AP too low: {ap}"
+
+
+def test_serving_daemon_scoring_pipeline(workspace):
+    """Online serving of the best-quality configuration: the daemon built
+    from `unet_scoring_model` runs FusedServe-with-features on device and
+    per-image GBM IoU rescoring + cross-layer NMS on host, returning the
+    rescored annotations (batch evaluate path: pipelines.py
+    ScoringInferencePipeline.transform)."""
+    import glob
+    import json
+    import urllib.request
+
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.daemon import daemon_from_pipeline
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"category_layers": [1, 19]})
+    pipeline = pl.PIPELINES["unet_scoring_model"]["inference"](manager.config)
+    daemon = daemon_from_pipeline(pipeline, manager.config, port=0,
+                                  max_wait_ms=1.0)
+    daemon.start_background()
+    try:
+        img_path = sorted(glob.glob(os.path.join(
+            manager.params.data_dir, "val", "images", "*")))[0]
+        with open(img_path, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{daemon.port}/v1/predict", data=body,
+            headers={"Content-Type": "image/jpeg", "X-Image-Id": "2"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{daemon.port}/v1/health", timeout=60).read())
+    finally:
+        daemon.shutdown()
+    assert health["scoring_model"] is True
+    anns = payload["annotations"]
+    assert anns and anns[0]["image_id"] == 2
+    assert {"image_id", "category_id", "score", "segmentation",
+            "bbox"} <= set(anns[0])
+    # scores are GBM-predicted IoUs (regression output near [0, 1] — the
+    # regressor may extrapolate slightly past the target range, so bound
+    # loosely rather than asserting a clamp the product never promises)
+    assert all(np.isfinite(a["score"]) and -0.5 < a["score"] < 1.5
+               for a in anns)
+
+
+def test_scoring_artifact_export_and_daemon(workspace):
+    """The best-quality configuration ships as an AOT artifact too: export
+    bundles the feature-emitting device program + the fitted GBM file, and
+    `serve --artifact` replays rescoring + NMS with no pipeline graph,
+    config, or checkpoint. On CPU the replay is bit-equal, so the artifact
+    daemon's annotations must match the live scoring daemon's exactly."""
+    import glob
+    import json
+    import urllib.request
+
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.artifact import export_serving_artifact
+    from mapping_tpu.infer.daemon import (daemon_from_artifact,
+                                          daemon_from_pipeline)
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"category_layers": [1, 19],
+                                         "serve_batch_buckets": "1"})
+    img_path = sorted(glob.glob(os.path.join(
+        manager.params.data_dir, "val", "images", "*")))[1]
+    with open(img_path, "rb") as f:
+        body = f.read()
+
+    def ask(port):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/predict", data=body,
+            headers={"Content-Type": "image/jpeg", "X-Image-Id": "7"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read())["annotations"]
+
+    pipeline = pl.PIPELINES["unet_scoring_model"]["inference"](manager.config)
+    out_dir = os.path.join(workspace["root"], "scoring_artifact")
+    manifest = export_serving_artifact(pipeline, manager.config, out_dir)
+    assert manifest["scoring_model"] is True
+    assert manifest["pipeline"] == "ScoringInferencePipeline"
+    assert "features" in manifest["outputs"]
+    assert os.path.exists(os.path.join(out_dir, "scoring_model.joblib"))
+
+    daemon = daemon_from_pipeline(pipeline, manager.config, port=0,
+                                  max_wait_ms=1.0)
+    daemon.start_background()
+    try:
+        anns_live = ask(daemon.port)
+    finally:
+        daemon.shutdown()
+
+    daemon = daemon_from_artifact(out_dir, port=0, max_wait_ms=1.0)
+    try:
+        daemon.start_background()
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{daemon.port}/v1/health", timeout=60).read())
+        assert health["scoring_model"] is True
+        anns_art = ask(daemon.port)
+    finally:
+        daemon.shutdown()
+    assert anns_art == anns_live
+    assert anns_art and anns_art[0]["image_id"] == 7
+
+
+def test_export_rejects_train_only_scoring_pipeline(workspace):
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.artifact import export_serving_artifact
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"category_layers": [1, 19]})
+    pipeline = pl.PIPELINES["scoring_model"]["train"](manager.config)
+    with pytest.raises(ValueError, match="train-only"):
+        export_serving_artifact(pipeline, manager.config,
+                                os.path.join(workspace["root"], "never"))
+
+
+def test_daemon_rejects_train_only_scoring_pipeline(workspace):
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.daemon import daemon_from_pipeline
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"category_layers": [1, 19]})
+    pipeline = pl.PIPELINES["scoring_model"]["train"](manager.config)
+    with pytest.raises(ValueError, match="train-only"):
+        daemon_from_pipeline(pipeline, manager.config)
