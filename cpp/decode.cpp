@@ -13,6 +13,8 @@
 // back to PIL):
 //   decode_probe(path, &h, &w)            -- header-only size read
 //   decode_image(path, out, cap, channels) -- channels 3 = RGB HWC, 1 = gray
+//   decode_probe_mem / decode_image_mem    -- same, from an in-memory buffer
+//     (the serving daemon's request bodies arrive as bytes, never files)
 
 #include <csetjmp>
 #include <cstdio>
@@ -35,16 +37,22 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 
 enum Format { FMT_UNKNOWN = 0, FMT_JPEG, FMT_PNG };
 
-Format sniff(FILE* f) {
-  unsigned char magic[8] = {0};
-  size_t n = fread(magic, 1, 8, f);
-  rewind(f);
+Format sniff_mem(const unsigned char* magic, long n) {
   if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) return FMT_JPEG;
   if (n >= 8 && !png_sig_cmp(magic, 0, 8)) return FMT_PNG;
   return FMT_UNKNOWN;
 }
 
-int jpeg_decode(FILE* f, unsigned char* out, long cap, int channels,
+Format sniff(FILE* f) {
+  unsigned char magic[8] = {0};
+  size_t n = fread(magic, 1, 8, f);
+  rewind(f);
+  return sniff_mem(magic, (long)n);
+}
+
+// src: a FILE* (buf == nullptr) or an in-memory buffer
+int jpeg_decode(FILE* f, const unsigned char* buf, unsigned long len,
+                unsigned char* out, long cap, int channels,
                 int* h, int* w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -55,7 +63,11 @@ int jpeg_decode(FILE* f, unsigned char* out, long cap, int channels,
     return -2;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  if (buf) {
+    jpeg_mem_src(&cinfo, buf, len);
+  } else {
+    jpeg_stdio_src(&cinfo, f);
+  }
   jpeg_read_header(&cinfo, TRUE);
   if (h) *h = (int)cinfo.image_height;
   if (w) *w = (int)cinfo.image_width;
@@ -86,12 +98,9 @@ int jpeg_decode(FILE* f, unsigned char* out, long cap, int channels,
   return 0;
 }
 
-int png_decode(const char* path, unsigned char* out, long cap, int channels,
-               int* h, int* w) {
-  png_image image;
-  memset(&image, 0, sizeof(image));
-  image.version = PNG_IMAGE_VERSION;
-  if (!png_image_begin_read_from_file(&image, path)) return -2;
+// shared post-begin body: `image` has been begin_read from a file or buffer
+int png_decode_begun(png_image& image, unsigned char* out, long cap,
+                     int channels, int* h, int* w) {
   if (h) *h = (int)image.height;
   if (w) *w = (int)image.width;
   if (!out) {  // probe only
@@ -130,10 +139,14 @@ int decode_probe(const char* path, int* h, int* w) {
   Format fmt = sniff(f);
   int rc;
   if (fmt == FMT_JPEG) {
-    rc = jpeg_decode(f, nullptr, 0, 3, h, w);
+    rc = jpeg_decode(f, nullptr, 0, nullptr, 0, 3, h, w);
   } else if (fmt == FMT_PNG) {
     fclose(f);
-    return png_decode(path, nullptr, 0, 3, h, w);
+    png_image image;
+    memset(&image, 0, sizeof(image));
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_file(&image, path)) return -2;
+    return png_decode_begun(image, nullptr, 0, 3, h, w);
   } else {
     rc = -1;
   }
@@ -151,15 +164,58 @@ int decode_image(const char* path, unsigned char* out, long cap,
   int rc;
   int h = 0, w = 0;
   if (fmt == FMT_JPEG) {
-    rc = jpeg_decode(f, out, cap, channels, &h, &w);
+    rc = jpeg_decode(f, nullptr, 0, out, cap, channels, &h, &w);
   } else if (fmt == FMT_PNG) {
     fclose(f);
-    return png_decode(path, out, cap, channels, &h, &w);
+    png_image image;
+    memset(&image, 0, sizeof(image));
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_file(&image, path)) return -2;
+    return png_decode_begun(image, out, cap, channels, &h, &w);
   } else {
     rc = -1;
   }
   fclose(f);
   return rc;
+}
+
+// In-memory variants: the serving daemon's request bodies are bytes (no
+// file ever exists), so these give the HTTP handler threads the same
+// GIL-free decode as the offline loader's path-based fast path.
+int decode_probe_mem(const unsigned char* buf, long len, int* h, int* w) {
+  if (!buf || len < 8) return -1;
+  Format fmt = sniff_mem(buf, len);
+  if (fmt == FMT_JPEG)
+    return jpeg_decode(nullptr, buf, (unsigned long)len, nullptr, 0, 3, h, w);
+  if (fmt == FMT_PNG) {
+    png_image image;
+    memset(&image, 0, sizeof(image));
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, buf, (size_t)len))
+      return -2;
+    return png_decode_begun(image, nullptr, 0, 3, h, w);
+  }
+  return -1;
+}
+
+int decode_image_mem(const unsigned char* buf, long len, unsigned char* out,
+                     long cap, int channels) {
+  if (channels != 1 && channels != 3) return -4;
+  if (!buf || len < 8) return -1;
+  Format fmt = sniff_mem(buf, len);
+  int h = 0, w = 0;
+  if (fmt == FMT_JPEG)
+    return jpeg_decode(nullptr, buf, (unsigned long)len, out, cap, channels,
+                       &h, &w);
+  if (fmt == FMT_PNG) {
+    png_image image;
+    memset(&image, 0, sizeof(image));
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, buf, (size_t)len))
+      return -2;
+    return png_decode_begun(image, out, cap, channels, &h, &w);
+  }
+  return -1;
 }
 
 }  // extern "C"

@@ -6,9 +6,9 @@ the production-serving face of the same fused program the pipelines run
 (infer/serving.py FusedServe), built TPU-first:
 
  - requests POST one image each (JPEG/PNG bytes or a .npy array); HTTP
-   handler threads decode them (PIL — bodies arrive as bytes, so the
-   path-based native libjpeg fast path the offline loader uses does not
-   apply here);
+   handler threads decode them with the native in-memory libjpeg/libpng
+   path (GIL-free, utils/native_decode.decode_rgb_bytes; PIL fallback for
+   formats the native path declines);
  - a microbatcher coalesces requests up to the pipeline's
    `batch_size_inference` (waiting at most `max_wait_ms` after the first
    request of a batch) and pads the ragged tail by repeating rows up to the
@@ -303,13 +303,22 @@ def decode_request_image(body: bytes, content_type: str,
         else:
             raise RequestError(f"unsupported array dtype {arr.dtype}")
     else:
-        from PIL import Image
+        # native libjpeg/libpng from the in-memory body first (GIL-free —
+        # handler threads scale with cores); PIL for anything it declines
+        # (alpha, 16-bit, luma conversions — outputs byte-identical either
+        # way, utils/native_decode.py)
+        from mapping_tpu.utils import native_decode
 
-        try:
-            with Image.open(io.BytesIO(body)) as img:
-                arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
-        except Exception as exc:
-            raise RequestError(f"undecodable image bytes: {exc!r}") from exc
+        arr = native_decode.decode_rgb_bytes(body)
+        if arr is None:
+            from PIL import Image
+
+            try:
+                with Image.open(io.BytesIO(body)) as img:
+                    arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+            except Exception as exc:
+                raise RequestError(
+                    f"undecodable image bytes: {exc!r}") from exc
     if arr.shape[:2] != (h, w):
         from PIL import Image
 

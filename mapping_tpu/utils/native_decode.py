@@ -24,6 +24,14 @@ def _register(lib):
     lib.decode_image.restype = ctypes.c_int
     lib.decode_image.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int]
+    lib.decode_probe_mem.restype = ctypes.c_int
+    lib.decode_probe_mem.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.decode_image_mem.restype = ctypes.c_int
+    lib.decode_image_mem.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_int]
 
 
 _lib = NativeLib("decode.cpp", "libdecode.so", _register,
@@ -59,3 +67,26 @@ def decode_rgb(path):
 def decode_gray(path):
     """(H, W) uint8 grayscale, or None when unavailable."""
     return _decode(path, 1)
+
+
+def decode_rgb_bytes(data):
+    """(H, W, 3) uint8 RGB from in-memory JPEG/PNG bytes, or None when the
+    native path can't serve it (caller falls back to PIL). Used by the
+    serving daemon's HTTP handler threads — request bodies never touch the
+    filesystem, and the whole decode runs outside the GIL."""
+    lib = _load()
+    if lib is None or len(data) < 8:
+        return None
+    data = bytes(data)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    if lib.decode_probe_mem(data, len(data), ctypes.byref(h),
+                            ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.decode_image_mem(data, len(data),
+                              out.ctypes.data_as(ctypes.c_char_p),
+                              out.nbytes, 3)
+    if rc != 0:
+        return None
+    return out

@@ -83,3 +83,62 @@ def test_loader_uses_native_path(tmp_path):
 
 def test_missing_file_declined():
     assert native_decode.decode_rgb("/nonexistent/x.jpg") is None
+
+
+def test_bytes_jpeg_matches_pil(tmp_path):
+    from PIL import Image
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(img).save(p, quality=85)
+    with open(p, "rb") as f:
+        body = f.read()
+    got = native_decode.decode_rgb_bytes(body)
+    assert got is not None
+    np.testing.assert_array_equal(got, _pil_rgb(p))
+
+
+def test_bytes_png_exact(tmp_path):
+    from imageio import imwrite
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (20, 30, 3)).astype(np.uint8)
+    p = str(tmp_path / "img.png")
+    imwrite(p, img)
+    with open(p, "rb") as f:
+        body = f.read()
+    got = native_decode.decode_rgb_bytes(body)
+    assert got is not None
+    np.testing.assert_array_equal(got, img)
+
+
+def test_bytes_garbage_and_rgba_declined(tmp_path):
+    from PIL import Image
+
+    assert native_decode.decode_rgb_bytes(b"not an image at all") is None
+    assert native_decode.decode_rgb_bytes(b"") is None
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (8, 8, 4)).astype(np.uint8)
+    p = str(tmp_path / "rgba.png")
+    Image.fromarray(img, "RGBA").save(p)
+    with open(p, "rb") as f:
+        body = f.read()
+    assert native_decode.decode_rgb_bytes(body) is None  # PIL's job
+
+
+def test_daemon_request_decode_uses_native_bytes_path(tmp_path):
+    """decode_request_image must produce the same array whichever decoder
+    serves it (native in-memory vs PIL fallback)."""
+    from PIL import Image
+
+    from mapping_tpu.infer.daemon import decode_request_image
+
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+    p = str(tmp_path / "img.jpg")
+    Image.fromarray(img).save(p, quality=90)
+    with open(p, "rb") as f:
+        body = f.read()
+    got = decode_request_image(body, "image/jpeg", (32, 32))
+    np.testing.assert_array_equal(got, _pil_rgb(p))
