@@ -180,6 +180,47 @@ def test_scoring_artifact_export_and_daemon(workspace):
     assert anns_art and anns_art[0]["image_id"] == 7
 
 
+def test_tta_scoring_daemon(workspace):
+    """The TTA variant of the scoring pipeline serves online too: the
+    device program runs the 12 deduped TTA forwards + feature extraction,
+    then per-image GBM rescoring + NMS on host (unet_tta_scoring_model =
+    the reference's best-quality configuration, README results ladder)."""
+    import glob
+    import json
+    import urllib.request
+
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.daemon import daemon_from_pipeline
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"category_layers": [1, 19]})
+    pipeline = pl.PIPELINES["unet_tta_scoring_model"]["inference"](
+        manager.config)
+    daemon = daemon_from_pipeline(pipeline, manager.config, port=0,
+                                  max_wait_ms=1.0)
+    daemon.start_background()
+    try:
+        img_path = sorted(glob.glob(os.path.join(
+            manager.params.data_dir, "val", "images", "*")))[2]
+        with open(img_path, "rb") as f:
+            body = f.read()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{daemon.port}/v1/predict", data=body,
+            headers={"Content-Type": "image/jpeg", "X-Image-Id": "5"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            payload = json.loads(r.read())
+        health = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{daemon.port}/v1/health", timeout=60).read())
+    finally:
+        daemon.shutdown()
+    assert health["scoring_model"] is True
+    assert health["pipeline"] == "ScoringInferencePipeline"
+    anns = payload["annotations"]
+    assert anns and anns[0]["image_id"] == 5
+    assert all(np.isfinite(a["score"]) for a in anns)
+
+
 def test_export_rejects_train_only_scoring_pipeline(workspace):
     import mapping_tpu.pipelines as pl
     from mapping_tpu.infer.artifact import export_serving_artifact
