@@ -77,7 +77,8 @@ class Microbatcher:
                  max_wait_ms: float = 5.0,
                  request_timeout: float = 300.0,
                  bucket_sizes: Optional[Sequence[int]] = None,
-                 convert=None):
+                 convert=None,
+                 max_pending: Optional[int] = None):
         self._serve = serve
         self._preprocess = preprocess
         self._batch = int(batch_size)
@@ -100,10 +101,17 @@ class Microbatcher:
         self._cat_layers = list(category_layers)
         self._max_wait = float(max_wait_ms) / 1000.0
         self._request_timeout = float(request_timeout)
+        # backpressure: decoded request images are ~H*W*3 bytes each; an
+        # unbounded queue under a flood would buffer them without limit.
+        # Past max_pending queued requests, submit() raises OverloadedError
+        # (HTTP 429) so callers shed load instead of piling RAM + latency.
+        self._max_pending = int(max_pending if max_pending is not None
+                                else 8 * self._batch)
         self._requests = queue.Queue()
         self._inflight = queue.Queue(maxsize=1)  # depth-1 = double buffer
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "images_padded": 0,
+                      "rejected_overload": 0,
                       "bucket_batches": {str(b): 0 for b in buckets}}
         self._threads = [
             threading.Thread(target=self._batch_loop, daemon=True,
@@ -124,6 +132,10 @@ class Microbatcher:
         worker-side failure."""
         if self._stop.is_set():
             raise RuntimeError("daemon is shut down")
+        if self._requests.qsize() >= self._max_pending:
+            self.stats["rejected_overload"] += 1
+            raise OverloadedError(
+                f"{self._max_pending} requests already queued; retry later")
         pending = _Pending(image, image_id)
         self._requests.put(pending)
         if self._stop.is_set() and not pending.done.is_set():
@@ -240,6 +252,10 @@ class Microbatcher:
 
 class RequestError(ValueError):
     """Client-side problem with a request body (HTTP 400)."""
+
+
+class OverloadedError(RuntimeError):
+    """Request queue at capacity — shed load (HTTP 429)."""
 
 
 def parse_serve_buckets(params):
@@ -369,6 +385,8 @@ def _make_handler(batcher: Microbatcher, target_hw, info: dict):
                 })
             except (RequestError, ValueError) as exc:  # malformed request
                 self._reply(400, {"error": repr(exc)})
+            except OverloadedError as exc:  # queue full — shed load
+                self._reply(429, {"error": repr(exc)})
             except TimeoutError as exc:  # overloaded / wedged device
                 self._reply(503, {"error": repr(exc)})
             except Exception as exc:  # noqa: BLE001 - server-side failure

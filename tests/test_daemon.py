@@ -354,6 +354,56 @@ def test_per_image_convert_failure_isolated():
     assert b.stats["requests"] == 2
 
 
+def test_backpressure_sheds_load_past_max_pending():
+    """Past max_pending queued requests, submit() raises OverloadedError
+    (HTTP 429) instead of buffering decoded images without bound; queued
+    requests still complete once the device catches up."""
+    from mapping_tpu.infer.daemon import OverloadedError
+
+    serve = FusedServe(_probs_fn, _params, **POST)
+    gate = threading.Event()
+
+    def slow_preprocess(u8_batch):
+        gate.wait(timeout=60)  # hold the batcher mid-batch
+        return _preprocess(u8_batch)
+
+    b = Microbatcher(serve, slow_preprocess, 1, category_ids=CAT_IDS,
+                     category_layers=CAT_LAYERS, max_wait_ms=1.0,
+                     max_pending=2)
+    imgs = _images(4, seed=13)
+    results = [None] * 3
+    threads = [threading.Thread(
+        target=lambda i=i: results.__setitem__(
+            i, b.submit(imgs[i], timeout=120, image_id=i)))
+        for i in range(3)]
+    threads[0].start()
+    # wait until the batcher picked up request 0 and is wedged in preprocess
+    for _ in range(500):
+        if b._requests.qsize() == 0 and not b._stop.is_set():
+            break
+        import time
+        time.sleep(0.01)
+    for t in threads[1:]:
+        t.start()
+    for _ in range(500):
+        if b._requests.qsize() >= 2:
+            break
+        import time
+        time.sleep(0.01)
+    try:
+        import pytest
+
+        with pytest.raises(OverloadedError, match="queued"):
+            b.submit(imgs[3], timeout=5, image_id=3)
+        assert b.stats["rejected_overload"] == 1
+    finally:
+        gate.set()
+        for t in threads:
+            t.join(timeout=60)
+        b.close()
+    assert all(r is not None for r in results)
+
+
 def test_parse_serve_buckets_warns_on_out_of_range():
     import logging
 
