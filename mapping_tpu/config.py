@@ -99,6 +99,8 @@ DEFAULT_PARAMS: Dict[str, Any] = {
                                  # daemon (comma-separated; the full
                                  # batch_size_inference shape is always
                                  # compiled too). "" = full batch only.
+    "serve_max_pending": 0,  # daemon backpressure: queued-request cap before
+                             # submissions shed with HTTP 429 (0 = 8x batch)
     "remat": 0,           # jax.checkpoint the forward (memory for FLOPs)
     # observability / recovery
     "resume_training": 1,

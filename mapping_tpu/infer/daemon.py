@@ -548,7 +548,8 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
         category_layers=pipeline.category_layers,
         max_wait_ms=max_wait_ms,
         bucket_sizes=buckets,
-        convert=convert)
+        convert=convert,
+        max_pending=int(params.get("serve_max_pending", 0)) or None)
     # warm: compile every bucket's program before accepting traffic (first
     # compile is tens of seconds via remote-compile; health checks pass
     # once warm)
