@@ -333,3 +333,61 @@ def load_artifact(directory: str) -> ArtifactServe:
         raise FileNotFoundError(
             f"no serving artifact at {directory} (missing {_MANIFEST})")
     return ArtifactServe(directory)
+
+
+def predict_dir_with_artifact(artifact_dir: str, dir_path: str,
+                              prediction_path: str,
+                              chunk_images: int = 0):
+    """Batch CLI prediction straight off an exported artifact
+    (`predict_on_dir --artifact DIR`): no checkpoint, config, or model
+    code on the host — the deployment analog of the reference's
+    predict_on_dir (reference main.py:52-64), which needed the full repo +
+    weights directory. Images are host-decoded (native path, PIL fallback)
+    and resized to the artifact's tile shape; the exported program runs in
+    pipelined chunks; scoring artifacts get their bundled GBM rescore +
+    NMS per image. Writes COCO result annotations to `prediction_path`."""
+    from PIL import Image
+
+    from mapping_tpu.constants import CATEGORY_IDS
+    from mapping_tpu.data.loader import load_image
+    from mapping_tpu.data.metadata import generate_inference_metadata
+    from mapping_tpu.infer.annotations import labeled_to_annotations
+
+    art = load_artifact(artifact_dir)
+    convert = art.converter()
+    meta = generate_inference_metadata(images_dir=dir_path)
+    if not len(meta):
+        raise ValueError(f"no images found under {dir_path}")
+    h, w = art.image_hw
+    ids = list(meta["ImageId"].values)
+    paths = list(meta["file_path_image"].values)
+    # decode per chunk so host RSS stays bounded on large directories;
+    # ArtifactServe.__call__ pipelines the bucket-size dispatches within
+    chunk = int(chunk_images) or 4 * max(art.manifest["batch_buckets"])
+    prediction = []
+    for start in range(0, len(paths), chunk):
+        tiles = []
+        for p in paths[start:start + chunk]:
+            arr = load_image(p)
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            if arr.shape[:2] != (h, w):
+                arr = np.asarray(
+                    Image.fromarray(arr).resize((w, h), Image.BILINEAR),
+                    np.uint8)
+            tiles.append(arr)
+        outs = art(np.stack(tiles))
+        for i, image_id in enumerate(ids[start:start + chunk]):
+            if convert is not None:
+                prediction.extend(convert(int(image_id), outs, i))
+            else:
+                prediction.extend(labeled_to_annotations(
+                    int(image_id), np.asarray(outs[0][i]),
+                    np.asarray(outs[1][i]), CATEGORY_IDS,
+                    art.manifest["category_layers"]))
+        logger.info("predicted %d/%d images",
+                    min(start + chunk, len(paths)), len(paths))
+    with open(prediction_path, "w") as f:
+        json.dump(prediction, f)
+    logger.info("submission saved to %s", prediction_path)
+    return prediction

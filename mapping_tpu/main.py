@@ -68,9 +68,18 @@ def evaluate(manager, pipeline_name, dev_mode, chunk_size):
 @click.option("--dir_path", required=True)
 @click.option("--prediction_path", required=True)
 @click.option("-c", "--chunk_size", type=int, default=None)
+@click.option("--artifact", "artifact_dir", default=None,
+              help="predict with an exported AOT artifact directory "
+                   "instead of a pipeline (no checkpoint/model code needed)")
 @click.pass_obj
 def predict_on_dir(manager, pipeline_name, dir_path, prediction_path,
-                   chunk_size):
+                   chunk_size, artifact_dir):
+    if artifact_dir:
+        from mapping_tpu.infer.artifact import predict_dir_with_artifact
+
+        predict_dir_with_artifact(artifact_dir, dir_path, prediction_path,
+                                  chunk_images=chunk_size or 0)
+        return
     manager.start_experiment()
     manager.predict_on_dir(pipeline_name, dir_path, prediction_path,
                            chunk_size)

@@ -214,6 +214,41 @@ def test_daemon_from_artifact(workspace, tmp_path):
         [a["segmentation"] for a in want]
 
 
+def test_predict_on_dir_with_artifact(workspace, tmp_path):
+    """Batch CLI prediction straight off the artifact: every image in the
+    directory gets annotations, ids follow the sorted-filename order the
+    pipeline path uses, and chunking must not change results (ragged tail
+    pads through the bucket programs)."""
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            predict_dir_with_artifact)
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    export_serving_artifact(pipeline, manager.config, out)
+
+    images_dir = os.path.join(workspace["data_dir"], "val", "images")
+    pred_path = str(tmp_path / "prediction.json")
+    got = predict_dir_with_artifact(out, images_dir, pred_path,
+                                    chunk_images=3)  # 4 images -> 3 + 1
+    with open(pred_path) as f:
+        assert json.load(f) == got
+    n_images = len(os.listdir(images_dir))
+    assert n_images == 4
+    assert {a["image_id"] for a in got} <= set(range(n_images))
+    assert got, "no detections on the synthetic val set"
+    assert {"image_id", "category_id", "score", "segmentation",
+            "bbox"} <= set(got[0])
+    # chunk-boundary invariance: one big chunk gives identical output
+    got_one = predict_dir_with_artifact(
+        out, images_dir, str(tmp_path / "p2.json"), chunk_images=0)
+    assert got_one == got
+
+    with pytest.raises(ValueError, match="no images"):
+        empty = str(tmp_path / "empty_dir")
+        os.makedirs(empty)
+        predict_dir_with_artifact(out, empty, str(tmp_path / "p3.json"))
+
+
 def test_input_validation_and_version_gate(workspace, tmp_path):
     from mapping_tpu.infer.artifact import (export_serving_artifact,
                                             load_artifact)
