@@ -364,19 +364,28 @@ def predict_dir_with_artifact(artifact_dir: str, dir_path: str,
     # decode per chunk so host RSS stays bounded on large directories;
     # ArtifactServe.__call__ pipelines the bucket-size dispatches within
     chunk = int(chunk_images) or 4 * max(art.manifest["batch_buckets"])
+    def _decode_tile(p):
+        arr = load_image(p)  # always (H, W, 3) uint8 (native or PIL RGB)
+        if arr.shape[:2] != (h, w):
+            arr = np.asarray(
+                Image.fromarray(arr).resize((w, h), Image.BILINEAR),
+                np.uint8)
+        return arr
+
+    def _decode_chunk(start):
+        # decode on threads (the GIL-free native decode scales with cores;
+        # same pattern as data/loader.py _decode_many)
+        chunk_paths = paths[start:start + chunk]
+        if len(chunk_paths) <= 1 or (os.cpu_count() or 1) <= 1:
+            return np.stack([_decode_tile(p) for p in chunk_paths])
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count())) as ex:
+            return np.stack(list(ex.map(_decode_tile, chunk_paths)))
+
     prediction = []
     for start in range(0, len(paths), chunk):
-        tiles = []
-        for p in paths[start:start + chunk]:
-            arr = load_image(p)
-            if arr.ndim == 2:
-                arr = np.stack([arr] * 3, axis=-1)
-            if arr.shape[:2] != (h, w):
-                arr = np.asarray(
-                    Image.fromarray(arr).resize((w, h), Image.BILINEAR),
-                    np.uint8)
-            tiles.append(arr)
-        outs = art(np.stack(tiles))
+        outs = art(_decode_chunk(start))
         for i, image_id in enumerate(ids[start:start + chunk]):
             if convert is not None:
                 prediction.extend(convert(int(image_id), outs, i))

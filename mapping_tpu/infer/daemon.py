@@ -107,6 +107,9 @@ class Microbatcher:
         # (HTTP 429) so callers shed load instead of piling RAM + latency.
         self._max_pending = int(max_pending if max_pending is not None
                                 else 8 * self._batch)
+        if self._max_pending < 1:
+            raise ValueError(
+                f"max_pending must be >= 1, got {self._max_pending}")
         self._requests = queue.Queue()
         self._inflight = queue.Queue(maxsize=1)  # depth-1 = double buffer
         self._stop = threading.Event()
@@ -256,6 +259,18 @@ class RequestError(ValueError):
 
 class OverloadedError(RuntimeError):
     """Request queue at capacity — shed load (HTTP 429)."""
+
+
+def _max_pending_from(params):
+    """`serve_max_pending` -> Microbatcher max_pending (None = the 8x-batch
+    default). 0 means default per the documented contract; a negative value
+    is a config typo and errors rather than silently rejecting all
+    traffic."""
+    value = int(params.get("serve_max_pending", 0))
+    if value < 0:
+        raise ValueError(
+            f"serve_max_pending must be >= 0 (0 = default), got {value}")
+    return value or None
 
 
 def parse_serve_buckets(params):
@@ -488,7 +503,7 @@ def unwrap_scoring_pipeline(pipeline, entry="serve"):
 
 
 def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
-                         max_wait_ms=5.0):
+                         max_wait_ms=5.0, max_pending=None):
     """Build the daemon from a trained inference pipeline: loads the
     checkpoint, builds the SAME FusedServe program `evaluate` runs, and
     reuses the pipeline loader's mode-dependent device preprocess
@@ -549,7 +564,8 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
         max_wait_ms=max_wait_ms,
         bucket_sizes=buckets,
         convert=convert,
-        max_pending=int(params.get("serve_max_pending", 0)) or None)
+        max_pending=(max_pending if max_pending is not None
+                     else _max_pending_from(params)))
     # warm: compile every bucket's program before accepting traffic (first
     # compile is tens of seconds via remote-compile; health checks pass
     # once warm)
@@ -567,7 +583,7 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
 
 
 def daemon_from_artifact(directory, host="127.0.0.1", port=8000,
-                         max_wait_ms=5.0):
+                         max_wait_ms=5.0, max_pending=None):
     """Build the daemon from an exported AOT artifact (CLI
     `serve --artifact DIR`): no model zoo, pipeline graph, config, or
     checkpoint on the serving host — the artifact's programs already
@@ -589,7 +605,8 @@ def daemon_from_artifact(directory, host="127.0.0.1", port=8000,
         category_layers=manifest["category_layers"],
         max_wait_ms=max_wait_ms,
         bucket_sizes=buckets,
-        convert=art.converter())  # GBM rescore+NMS for scoring artifacts
+        convert=art.converter(),  # GBM rescore+NMS for scoring artifacts
+        max_pending=max_pending)
     for b in buckets:  # warm: first .call per shape compiles the program
         art.collect(art.dispatch(np.zeros((b,) + tile + (3,), np.uint8)))
     info = {"batch_size": max(buckets), "batch_buckets": buckets,

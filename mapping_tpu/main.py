@@ -95,22 +95,29 @@ def predict_on_dir(manager, pipeline_name, dir_path, prediction_path,
 @click.option("--port", type=int, default=8000)
 @click.option("--max_wait_ms", type=float, default=5.0,
               help="microbatch coalescing window after the first request")
+@click.option("--max_pending", type=int, default=None,
+              help="backpressure: queued-request cap before 429 "
+                   "load-shedding (default 8x batch; pipeline mode also "
+                   "honors serve_max_pending from the config)")
 @click.pass_obj
-def serve(manager, pipeline_name, artifact_dir, host, port, max_wait_ms):
+def serve(manager, pipeline_name, artifact_dir, host, port, max_wait_ms,
+          max_pending):
     """Online serving: microbatched fused inference over HTTP
     (POST /v1/predict with JPEG/PNG/.npy bytes -> COCO annotations)."""
     if artifact_dir:
         from mapping_tpu.infer.daemon import daemon_from_artifact
 
         daemon = daemon_from_artifact(artifact_dir, host=host, port=port,
-                                      max_wait_ms=max_wait_ms)
+                                      max_wait_ms=max_wait_ms,
+                                      max_pending=max_pending)
     else:
         from mapping_tpu.infer.daemon import daemon_from_pipeline
         from mapping_tpu.pipelines import PIPELINES
 
         pipeline = PIPELINES[pipeline_name]["inference"](manager.config)
         daemon = daemon_from_pipeline(pipeline, manager.config, host=host,
-                                      port=port, max_wait_ms=max_wait_ms)
+                                      port=port, max_wait_ms=max_wait_ms,
+                                      max_pending=max_pending)
     daemon.serve_forever()
 
 
