@@ -40,6 +40,16 @@ build = _lib.build
 _load = _lib.load
 available = _lib.available
 
+# Allocation guard: a corrupt (or hostile — the daemon decodes request
+# bodies) header can claim an absurd size, e.g. 65500x65500 JPEG = 12 GB
+# RGB. Past this cap the native path declines and PIL's own
+# decompression-bomb handling takes over. ~134 MP >> any dataset tile.
+_MAX_PIXELS = 1 << 27
+
+
+def _plausible(h, w):
+    return 0 < h and 0 < w and h * w <= _MAX_PIXELS
+
 
 def _decode(path, channels):
     lib = _load()
@@ -49,6 +59,8 @@ def _decode(path, channels):
     h = ctypes.c_int()
     w = ctypes.c_int()
     if lib.decode_probe(path_b, ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    if not _plausible(h.value, w.value):
         return None
     shape = (h.value, w.value, 3) if channels == 3 else (h.value, w.value)
     out = np.empty(shape, np.uint8)
@@ -82,6 +94,8 @@ def decode_rgb_bytes(data):
     w = ctypes.c_int()
     if lib.decode_probe_mem(data, len(data), ctypes.byref(h),
                             ctypes.byref(w)) != 0:
+        return None
+    if not _plausible(h.value, w.value):
         return None
     out = np.empty((h.value, w.value, 3), np.uint8)
     rc = lib.decode_image_mem(data, len(data),

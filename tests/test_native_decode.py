@@ -127,6 +127,38 @@ def test_bytes_garbage_and_rgba_declined(tmp_path):
     assert native_decode.decode_rgb_bytes(body) is None  # PIL's job
 
 
+def test_bytes_fuzz_corrupt_buffers_never_crash(tmp_path):
+    """Truncated/bit-flipped JPEG+PNG bytes must never crash: either None
+    (the C error paths longjmp out of libjpeg / fail png_image reads) or a
+    well-formed uint8 HWC array of BOUNDED size — a corrupt header claiming
+    a 12 GB image must be declined, not allocated (the daemon decodes
+    untrusted request bodies)."""
+    from PIL import Image
+
+    def ok(out):
+        return out is None or (
+            out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+            and out.shape[0] * out.shape[1] <= native_decode._MAX_PIXELS)
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (40, 40, 3)).astype(np.uint8)
+    bodies = []
+    for fmt in ("JPEG", "PNG"):
+        import io
+
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format=fmt)
+        bodies.append(bytearray(buf.getvalue()))
+    for body in bodies:
+        for cut in (9, len(body) // 4, len(body) // 2, len(body) - 3):
+            assert ok(native_decode.decode_rgb_bytes(bytes(body[:cut])))
+        for _ in range(50):
+            corrupt = bytearray(body)
+            for pos in rng.randint(2, len(corrupt), size=8):
+                corrupt[pos] = rng.randint(0, 256)
+            assert ok(native_decode.decode_rgb_bytes(bytes(corrupt)))
+
+
 def test_daemon_request_decode_uses_native_bytes_path(tmp_path):
     """decode_request_image must produce the same array whichever decoder
     serves it (native in-memory vs PIL fallback)."""
