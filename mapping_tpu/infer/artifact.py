@@ -25,7 +25,10 @@ Artifact directory layout:
 
 The exported program is the artifact's contract: anything baked at trace
 time (TTA specs, postprocess geometry, quantization scales, the CCL
-backend chosen for the export platform) is frozen.
+backend chosen for the export platform) is frozen. Artifacts are
+single-device programs — mesh-sharded serving (`data_parallel`,
+`spatial_serving`) stays on the live pipelines, whose shardings bind to
+the deployment's actual device mesh at run time.
 
 Numerics: on CPU the replay is bit-equal to the live program. On TPU the
 StableHLO roundtrip recompiles into a (validly) different XLA schedule,

@@ -404,6 +404,49 @@ def test_backpressure_sheds_load_past_max_pending():
     assert all(r is not None for r in results)
 
 
+def test_concurrent_stress_all_requests_resolve():
+    """A burst of concurrent clients (more than max_pending) must leave no
+    request hanging: every submit() either returns annotations matching the
+    single-image oracle or raises OverloadedError/timeout — and the stats
+    counters reconcile with the outcomes."""
+    from mapping_tpu.infer.daemon import OverloadedError
+
+    serve = FusedServe(_probs_fn, _params, **POST)
+    b = Microbatcher(serve, _preprocess, 4, category_ids=CAT_IDS,
+                     category_layers=CAT_LAYERS, max_wait_ms=2.0,
+                     bucket_sizes=[1, 2], max_pending=6)
+    n = 24
+    imgs = _images(4, seed=17)  # 4 distinct images, reused across requests
+    outcomes = [None] * n
+
+    def client(i):
+        try:
+            anns = b.submit(imgs[i % 4], timeout=120, image_id=i)
+            outcomes[i] = ("ok", anns)
+        except OverloadedError:
+            outcomes[i] = ("shed", None)
+        except Exception as exc:  # noqa: BLE001
+            outcomes[i] = ("error", repr(exc))
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    b.close()
+    assert all(o is not None for o in outcomes), "a request hung"
+    assert not [o for o in outcomes if o[0] == "error"], outcomes
+    served = [i for i, o in enumerate(outcomes) if o[0] == "ok"]
+    shed = [i for i, o in enumerate(outcomes) if o[0] == "shed"]
+    assert len(served) + len(shed) == n
+    assert served, "nothing served under burst"
+    assert b.stats["requests"] == len(served)
+    assert b.stats["rejected_overload"] == len(shed)
+    # spot-check correctness under concurrency against the batch-1 oracle
+    for i in served[:4]:
+        _assert_same_annotations(outcomes[i][1], _expected(imgs[i % 4], i))
+
+
 def test_parse_serve_buckets_warns_on_out_of_range():
     import logging
 
