@@ -349,24 +349,40 @@ def predict_dir_with_artifact(artifact_dir: str, dir_path: str,
     and resized to the artifact's tile shape; the exported program runs in
     pipelined chunks; scoring artifacts get their bundled GBM rescore +
     NMS per image. Writes COCO result annotations to `prediction_path`."""
+    from mapping_tpu.data.metadata import generate_inference_metadata
+
+    art = load_artifact(artifact_dir)
+    meta = generate_inference_metadata(images_dir=dir_path)
+    if not len(meta):
+        raise ValueError(f"no images found under {dir_path}")
+    prediction = predict_paths_with_artifact(
+        art, list(meta["ImageId"].values),
+        list(meta["file_path_image"].values), chunk_images=chunk_images)
+    with open(prediction_path, "w") as f:
+        json.dump(prediction, f)
+    logger.info("submission saved to %s", prediction_path)
+    return prediction
+
+
+def predict_paths_with_artifact(art: ArtifactServe, ids, paths,
+                                chunk_images: int = 0):
+    """COCO result annotations for (image_id, file path) pairs through a
+    loaded artifact — the shared engine behind `predict_on_dir --artifact`
+    and `evaluate --artifact`."""
     from PIL import Image
 
     from mapping_tpu.constants import CATEGORY_IDS
     from mapping_tpu.data.loader import load_image
-    from mapping_tpu.data.metadata import generate_inference_metadata
     from mapping_tpu.infer.annotations import labeled_to_annotations
 
-    art = load_artifact(artifact_dir)
     convert = art.converter()
-    meta = generate_inference_metadata(images_dir=dir_path)
-    if not len(meta):
-        raise ValueError(f"no images found under {dir_path}")
     h, w = art.image_hw
-    ids = list(meta["ImageId"].values)
-    paths = list(meta["file_path_image"].values)
+    ids = list(ids)
+    paths = list(paths)
     # decode per chunk so host RSS stays bounded on large directories;
     # ArtifactServe.__call__ pipelines the bucket-size dispatches within
     chunk = int(chunk_images) or 4 * max(art.manifest["batch_buckets"])
+
     def _decode_tile(p):
         arr = load_image(p)  # always (H, W, 3) uint8 (native or PIL RGB)
         if arr.shape[:2] != (h, w):
@@ -399,7 +415,4 @@ def predict_dir_with_artifact(artifact_dir: str, dir_path: str,
                     art.manifest["category_layers"]))
         logger.info("predicted %d/%d images",
                     min(start + chunk, len(paths)), len(paths))
-    with open(prediction_path, "w") as f:
-        json.dump(prediction, f)
-    logger.info("submission saved to %s", prediction_path)
     return prediction

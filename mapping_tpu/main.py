@@ -56,10 +56,17 @@ def train(manager, pipeline_name, dev_mode):
 @click.option("-p", "--pipeline_name", default="unet")
 @click.option("-d", "--dev_mode", is_flag=True)
 @click.option("-c", "--chunk_size", type=int, default=None)
+@click.option("--artifact", "artifact_dir", default=None,
+              help="score an exported AOT artifact on the validation "
+                   "sample (deployment acceptance check; no checkpoint "
+                   "or model code needed)")
 @click.pass_obj
-def evaluate(manager, pipeline_name, dev_mode, chunk_size):
+def evaluate(manager, pipeline_name, dev_mode, chunk_size, artifact_dir):
     manager.start_experiment()
-    manager.evaluate(pipeline_name, dev_mode, chunk_size)
+    if artifact_dir:
+        manager.evaluate_artifact(artifact_dir, dev_mode, chunk_size)
+    else:
+        manager.evaluate(pipeline_name, dev_mode, chunk_size)
     manager.finish_experiment()
 
 

@@ -19,7 +19,7 @@ import pandas as pd
 
 from mapping_tpu.config import build_config
 from mapping_tpu.constants import (CATEGORY_IDS, CATEGORY_LAYERS, SEED,
-                                   Y_COLUMNS_SCORING)
+                                   X_COLUMNS, Y_COLUMNS_SCORING)
 from mapping_tpu.data.metadata import (generate_inference_metadata,
                                        generate_metadata)
 from mapping_tpu.eval import coco_evaluation
@@ -84,6 +84,14 @@ class PipelineManager:
                 "Evaluating without a second-layer model requires "
                 "category_layers [1, 1]")
         ap, ar = evaluate(pipeline_name, dev_mode, chunk_size, self.config)
+        self.sink.send_metric("Precision", ap)
+        self.sink.send_metric("Recall", ar)
+        return ap, ar
+
+    def evaluate_artifact(self, artifact_dir, dev_mode=False,
+                          chunk_size=None):
+        ap, ar = evaluate_with_artifact(artifact_dir, dev_mode, chunk_size,
+                                        self.config)
         self.sink.send_metric("Precision", ap)
         self.sink.send_metric("Recall", ar)
         return ap, ar
@@ -209,6 +217,49 @@ def evaluate(pipeline_name, dev_mode, chunk_size, config):
     )
     logger.info("validation precision (AP@0.5) = %.4f", ap)
     logger.info("validation recall    (AR@0.5) = %.4f", ar)
+    return ap, ar
+
+
+def evaluate_with_artifact(artifact_dir, dev_mode, chunk_size, config):
+    """`evaluate --artifact DIR`: the deployment acceptance check — run the
+    exported AOT program over the validation sample and score it with the
+    same forked-COCOeval protocol `evaluate` uses, so an artifact's AP can
+    be compared against the live pipeline's before rollout. Needs the data
+    + metadata dirs from the config, but no checkpoint or model code."""
+    from mapping_tpu.infer.artifact import (load_artifact,
+                                            predict_paths_with_artifact)
+
+    params = config.params
+    logger.info("evaluating artifact %s", artifact_dir)
+    meta = pd.read_csv(os.path.join(params.meta_dir, "metadata.csv"),
+                       low_memory=False)
+    meta_valid = meta[meta["is_valid"] == 1]
+    meta_valid = _sample(meta_valid, params.evaluation_data_sample, SEED)
+    if dev_mode:
+        meta_valid = _sample(meta_valid, 30, SEED)
+
+    art = load_artifact(artifact_dir)
+    prediction = predict_paths_with_artifact(
+        art, list(meta_valid[Y_COLUMNS_SCORING[0]].values),
+        list(meta_valid[X_COLUMNS[0]].values),
+        chunk_images=int(chunk_size or 0))
+
+    prediction_filepath = os.path.join(params.experiment_dir,
+                                       "prediction.json")
+    os.makedirs(params.experiment_dir, exist_ok=True)
+    with open(prediction_filepath, "w") as f:
+        json.dump(prediction, f)
+
+    gt_path = os.path.join(params.data_dir, "val", "annotation.json")
+    ap, ar = coco_evaluation(
+        gt_filepath=gt_path,
+        prediction_filepath=prediction_filepath,
+        image_ids=list(meta_valid[Y_COLUMNS_SCORING[0]].values),
+        category_ids=[c for c in CATEGORY_IDS if c is not None],
+        small_annotations_size=params.small_annotations_size,
+    )
+    logger.info("artifact validation precision (AP@0.5) = %.4f", ap)
+    logger.info("artifact validation recall    (AR@0.5) = %.4f", ar)
     return ap, ar
 
 

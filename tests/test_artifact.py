@@ -249,6 +249,26 @@ def test_predict_on_dir_with_artifact(workspace, tmp_path):
         predict_dir_with_artifact(out, empty, str(tmp_path / "p3.json"))
 
 
+def test_evaluate_with_artifact_matches_live(workspace, tmp_path):
+    """`evaluate --artifact`: the exported program scored with the same
+    forked-COCOeval protocol — the deployment acceptance check. Input
+    semantics differ only in where the resize runs (host PIL for the
+    artifact vs on-device for the loader), so AP must land close to the
+    live pipeline's, not bit-equal."""
+    from mapping_tpu.infer.artifact import export_serving_artifact
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    export_serving_artifact(pipeline, manager.config, out)
+
+    ap_live, ar_live = manager.evaluate("unet", dev_mode=False,
+                                        chunk_size=None)
+    ap_art, ar_art = manager.evaluate_artifact(out)
+    assert np.isfinite(ap_art) and np.isfinite(ar_art)
+    assert abs(ap_art - ap_live) < 0.2, (ap_art, ap_live)
+    assert abs(ar_art - ar_live) < 0.2, (ar_art, ar_live)
+
+
 def test_input_validation_and_version_gate(workspace, tmp_path):
     from mapping_tpu.infer.artifact import (export_serving_artifact,
                                             load_artifact)
