@@ -116,6 +116,11 @@ class Microbatcher:
         self.stats = {"requests": 0, "batches": 0, "images_padded": 0,
                       "rejected_overload": 0,
                       "bucket_batches": {str(b): 0 for b in buckets}}
+        # serving observability: per-request wall time (submit -> done),
+        # bounded window; /v1/stats reports p50/p95/p99
+        from collections import deque
+
+        self._latencies = deque(maxlen=4096)
         self._threads = [
             threading.Thread(target=self._batch_loop, daemon=True,
                              name="serve-batcher"),
@@ -140,6 +145,7 @@ class Microbatcher:
             raise OverloadedError(
                 f"{self._max_pending} requests already queued; retry later")
         pending = _Pending(image, image_id)
+        t0 = time.monotonic()
         self._requests.put(pending)
         if self._stop.is_set() and not pending.done.is_set():
             # close() may already have drained the queue; fail fast rather
@@ -152,7 +158,17 @@ class Microbatcher:
             raise TimeoutError("prediction timed out")
         if pending.error is not None:
             raise RuntimeError(pending.error)
+        self._latencies.append(time.monotonic() - t0)
         return pending.annotations
+
+    def latency_quantiles(self):
+        """{p50, p95, p99} in ms over the recent served-request window."""
+        window = list(self._latencies)
+        if not window:
+            return {}
+        qs = np.quantile(np.asarray(window), [0.5, 0.95, 0.99])
+        return {f"latency_ms_p{p}": round(float(v) * 1e3, 1)
+                for p, v in zip((50, 95, 99), qs)}
 
     def close(self):
         self._stop.set()
@@ -377,6 +393,7 @@ def _make_handler(batcher: Microbatcher, target_hw, info: dict):
                 if stats["batches"]:
                     stats["mean_batch_occupancy"] = round(
                         stats["requests"] / stats["batches"], 2)
+                stats.update(batcher.latency_quantiles())
                 self._reply(200, stats)
             else:
                 self._reply(404, {"error": "unknown path"})

@@ -173,6 +173,8 @@ def test_http_round_trip():
         with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
             stats = json.loads(r.read())
         assert stats["requests"] == 1
+        assert stats["latency_ms_p50"] > 0
+        assert stats["latency_ms_p99"] >= stats["latency_ms_p50"]
     finally:
         daemon.shutdown()
 
