@@ -249,6 +249,30 @@ def test_predict_on_dir_with_artifact(workspace, tmp_path):
         predict_dir_with_artifact(out, empty, str(tmp_path / "p3.json"))
 
 
+def test_tta_export_matches_live(workspace, tmp_path):
+    """Exporting the TTA pipeline bakes the full expand -> 12 deduped
+    forwards -> inverse -> weighted-gmean chain into the artifact; CPU
+    replay is bit-equal to the live TTA serve program."""
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"serve_batch_buckets": ""})
+    pipeline = pl.PIPELINES["unet_tta"]["inference"](manager.config)
+    out = str(tmp_path / "artifact_tta")
+    manifest = export_serving_artifact(pipeline, manager.config, out)
+    assert manifest["tta_variants"] == 16  # spec list kept at parity
+    art = load_artifact(out)
+
+    tiles = _tiles(4, art.image_hw, seed=3)
+    got = art(tiles)
+    want = _live_outputs(pipeline, tiles)
+    np.testing.assert_array_equal(got[0], np.asarray(want[0]))
+    np.testing.assert_allclose(got[1], np.asarray(want[1]), rtol=0, atol=0)
+
+
 def test_evaluate_with_artifact_matches_live(workspace, tmp_path):
     """`evaluate --artifact`: the exported program scored with the same
     forked-COCOeval protocol — the deployment acceptance check. Input
