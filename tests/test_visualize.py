@@ -1,0 +1,99 @@
+"""Prediction visualizer (VERDICT r3 next #8): GT-vs-prediction overlays
+from a prediction.json — the reference's results_exploration notebook
+(notebooks/results_exploration.ipynb) as a product command."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.fixtures.synthetic import generate
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("viz"))
+    data_dir = os.path.join(root, "data")
+    generate(data_dir, n_train=2, n_val=3, seed=9)
+    return {"root": root, "data_dir": data_dir}
+
+
+def _fake_prediction(data_dir, n=2):
+    """COCO results referencing real val image ids, RLE from simple boxes."""
+    from mapping_tpu.data.coco import COCOIndex
+    from mapping_tpu.ops import rle as rle_ops
+
+    gt = COCOIndex(os.path.join(data_dir, "val", "annotation.json"))
+    results = []
+    for image_id in sorted(gt.get_img_ids())[:n]:
+        info = gt.imgs[image_id]
+        mask = np.zeros((info["height"], info["width"]), np.uint8)
+        mask[20:80, 30:90] = 1
+        counts = rle_ops.encode(mask)["counts"]
+        if isinstance(counts, bytes):  # UTF-8 string in the json on disk
+            counts = counts.decode("utf-8")
+        results.append({
+            "image_id": image_id,
+            "category_id": sorted(gt.get_cat_ids())[0],
+            "score": 0.9,
+            "segmentation": {"size": [info["height"], info["width"]],
+                             "counts": counts},
+            "bbox": [30, 20, 60, 60],
+        })
+    return results
+
+
+def test_visualize_writes_overlays(workspace, tmp_path):
+    from mapping_tpu.utils.visualize import visualize_predictions
+
+    pred_path = os.path.join(workspace["root"], "prediction.json")
+    with open(pred_path, "w") as f:
+        json.dump(_fake_prediction(workspace["data_dir"]), f)
+
+    out_dir = str(tmp_path / "overlays")
+    written = visualize_predictions(pred_path, workspace["data_dir"],
+                                    out_dir, n_images=2)
+    assert len(written) == 2
+    from PIL import Image
+
+    for path in written:
+        assert os.path.exists(path)
+        arr = np.asarray(Image.open(path))
+        assert arr.ndim == 3 and arr.shape[-1] == 3
+        # the predicted box region is tinted toward red vs the raw tile
+        red_region = arr[20:80, 30:90]
+        assert red_region[..., 0].mean() > red_region[..., 2].mean()
+
+
+def test_visualize_score_threshold_filters(workspace, tmp_path):
+    from mapping_tpu.utils.visualize import visualize_predictions
+
+    pred = _fake_prediction(workspace["data_dir"], n=1)
+    pred_path = os.path.join(workspace["root"], "prediction_lo.json")
+    with open(pred_path, "w") as f:
+        json.dump(pred, f)
+    ids = [pred[0]["image_id"]]
+    hi = visualize_predictions(pred_path, workspace["data_dir"],
+                               str(tmp_path / "hi"), image_ids=ids,
+                               score_threshold=0.95)
+    lo = visualize_predictions(pred_path, workspace["data_dir"],
+                               str(tmp_path / "lo"), image_ids=ids,
+                               score_threshold=0.0)
+    from PIL import Image
+
+    a = np.asarray(Image.open(hi[0])).astype(int)
+    b = np.asarray(Image.open(lo[0])).astype(int)
+    # the 0.9-score instance is filtered at threshold .95 -> overlays differ
+    assert np.abs(a - b).max() > 0
+
+
+def test_visualize_cli_registered():
+    from click.testing import CliRunner
+
+    from mapping_tpu.main import main
+
+    runner = CliRunner()
+    assert "visualize" in runner.invoke(main, ["--help"]).output
+    out = runner.invoke(main, ["visualize", "--help"]).output
+    assert "--prediction_path" in out and "--out_dir" in out
