@@ -48,6 +48,9 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "experiment_dir": "data/experiments/mapping_tpu",
     # execution
     "overwrite": 0,
+    "warm_start": 0,  # continue training from the cached transformer under
+                      # the CURRENT yaml (the published multistage recipe,
+                      # reference README.md:86-91); fresh schedule/optimizer
     "num_workers": 4,
     "num_threads": 8,
     "load_in_memory": 0,
@@ -71,6 +74,8 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "pool_stride": 2,
     "repeat_blocks": 4,
     "encoder": "ResNet101",
+    "model_dtype": "bfloat16",  # compute dtype (params stay float32);
+                                # "float32" for bit-faithful parity checks
     # loss
     "bce_mask": 1.0,
     "dice_mask": 0.2,
@@ -205,6 +210,7 @@ def build_config(config_path: Optional[str] = None,
                 "out_channels": params.channels_per_output,
                 "nr_outputs": params.nr_unet_outputs,
                 "encoder": params.encoder,
+                "dtype": params.model_dtype,
             },
             "optimizer_params": {"lr": params.lr, "gamma": params.gamma,
                                  "weight_decay": params.l2_reg_conv},

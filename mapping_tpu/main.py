@@ -45,10 +45,14 @@ def prepare_metadata(manager, train_data, valid_data):
 @main.command(name="train")
 @click.option("-p", "--pipeline_name", default="unet_weighted")
 @click.option("-d", "--dev_mode", is_flag=True)
+@click.option("-w", "--warm_start", is_flag=True,
+              help="continue training from the cached transformer under the "
+                   "current yaml (stage 2+ of the multistage recipe); the "
+                   "completed previous stage is archived, not overwritten")
 @click.pass_obj
-def train(manager, pipeline_name, dev_mode):
+def train(manager, pipeline_name, dev_mode, warm_start):
     manager.start_experiment()
-    manager.train(pipeline_name, dev_mode)
+    manager.train(pipeline_name, dev_mode, warm_start=warm_start)
     manager.finish_experiment()
 
 
@@ -84,8 +88,10 @@ def predict_on_dir(manager, pipeline_name, dir_path, prediction_path,
     if artifact_dir:
         from mapping_tpu.infer.artifact import predict_dir_with_artifact
 
-        predict_dir_with_artifact(artifact_dir, dir_path, prediction_path,
-                                  chunk_images=chunk_size or 0)
+        predict_dir_with_artifact(
+            artifact_dir, dir_path, prediction_path,
+            chunk_images=chunk_size or 0,
+            data_parallel=bool(manager.params.get("data_parallel", 0)))
         return
     manager.start_experiment()
     manager.predict_on_dir(pipeline_name, dir_path, prediction_path,
@@ -151,14 +157,53 @@ def export_cmd(manager, pipeline_name, dir_path, platforms):
     click.echo(json.dumps(manifest, indent=1))
 
 
+@main.command(name="visualize")
+@click.option("--prediction_path", required=True,
+              help="a COCO results json (what evaluate/predict_on_dir write)")
+@click.option("--out_dir", required=True)
+@click.option("-n", "--n_images", type=int, default=8)
+@click.option("--dataset", default="val",
+              help="GT split under data_dir (annotation.json + images/)")
+@click.option("--score_threshold", type=float, default=0.0)
+@click.pass_obj
+def visualize(manager, prediction_path, out_dir, n_images, dataset,
+              score_threshold):
+    """GT-vs-prediction overlay PNGs for sampled images — the reference's
+    results_exploration notebook as a product command."""
+    from mapping_tpu.utils.visualize import visualize_predictions
+
+    written = visualize_predictions(
+        prediction_path, manager.params.data_dir, out_dir,
+        dataset=dataset, n_images=n_images, score_threshold=score_threshold)
+    click.echo(json.dumps({"written": written}))
+
+
+@main.command(name="import_checkpoint")
+@click.option("-p", "--pipeline_name", default="unet")
+@click.option("--path", "checkpoint_path", required=True,
+              help="complete torch UNet state_dict (.pth/.pt/.npz; plain, "
+                   "{'state_dict': ...}-wrapped or 'module.'-prefixed)")
+@click.pass_obj
+def import_checkpoint(manager, pipeline_name, checkpoint_path):
+    """Import a reference trained checkpoint into the experiment's
+    transformer cache; evaluate/predict_on_dir/serve/export then run the
+    imported weights directly."""
+    manager.start_experiment()
+    manager.import_checkpoint(checkpoint_path, pipeline_name)
+    manager.finish_experiment()
+
+
 @main.command(name="train_evaluate")
 @click.option("-p", "--pipeline_name", default="unet_weighted")
 @click.option("-d", "--dev_mode", is_flag=True)
 @click.option("-c", "--chunk_size", type=int, default=None)
+@click.option("-w", "--warm_start", is_flag=True,
+              help="continue training from the cached transformer under the "
+                   "current yaml (stage 2+ of the multistage recipe)")
 @click.pass_obj
-def train_evaluate(manager, pipeline_name, dev_mode, chunk_size):
+def train_evaluate(manager, pipeline_name, dev_mode, chunk_size, warm_start):
     manager.start_experiment()
-    manager.train(pipeline_name, dev_mode)
+    manager.train(pipeline_name, dev_mode, warm_start=warm_start)
     manager.evaluate(pipeline_name, dev_mode, chunk_size)
     manager.finish_experiment()
 

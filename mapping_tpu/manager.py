@@ -62,7 +62,7 @@ class PipelineManager:
     def finish_experiment(self):
         pass
 
-    def train(self, pipeline_name, dev_mode):
+    def train(self, pipeline_name, dev_mode, warm_start=False):
         cl = self._category_layers()
         if pipeline_name == "scoring_model":
             assert cl[1] > 1, (
@@ -71,6 +71,14 @@ class PipelineManager:
         else:
             assert cl[1] == 1, (
                 "Training the base unet requires category_layers [1, 1]")
+        if warm_start:
+            self.config.params["warm_start"] = 1
+        if self.config.params.get("warm_start", 0) and self.config.params.get(
+                "overwrite", 0):
+            raise ValueError(
+                "warm_start and overwrite are mutually exclusive: overwrite "
+                "deletes the experiment dir (including the previous stage's "
+                "weights warm_start would continue from)")
         train(pipeline_name, dev_mode, self.config)
 
     def evaluate(self, pipeline_name, dev_mode, chunk_size):
@@ -95,6 +103,16 @@ class PipelineManager:
         self.sink.send_metric("Precision", ap)
         self.sink.send_metric("Recall", ar)
         return ap, ar
+
+    def import_checkpoint(self, path, pipeline_name="unet"):
+        """Import a complete reference torch checkpoint into the
+        experiment's transformer cache (full-model state_dict for any of
+        the six pretrained architectures; the config's `encoder` selects
+        the target). After this, `evaluate` scores the reference's trained
+        weights directly."""
+        pipeline = PIPELINES[pipeline_name]["inference"](self.config)
+        base = getattr(pipeline, "base", pipeline)
+        base.import_checkpoint(path)
 
     def predict_on_dir(self, pipeline_name, dir_path, prediction_path,
                        chunk_size):
@@ -239,6 +257,11 @@ def evaluate_with_artifact(artifact_dir, dev_mode, chunk_size, config):
         meta_valid = _sample(meta_valid, 30, SEED)
 
     art = load_artifact(artifact_dir)
+    if params.get("data_parallel", 0):
+        import jax
+
+        if len(jax.devices()) > 1:
+            art.replicate()  # N-replica data-parallel replay
     prediction = predict_paths_with_artifact(
         art, list(meta_valid[Y_COLUMNS_SCORING[0]].values),
         list(meta_valid[X_COLUMNS[0]].values),

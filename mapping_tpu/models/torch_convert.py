@@ -232,6 +232,38 @@ def convert_unet_vgg16(
     return params
 
 
+def detect_is_deconv(state: Mapping[str, np.ndarray]) -> bool:
+    """Reference DecoderBlockV2 layout detection (src/unet_models.py:125-150):
+    deconv mode is [ConvRelu, ConvTranspose2d, ReLU] — its block.0 is a
+    ConvRelu (key `center.block.0.conv.weight`); bilinear-upsample mode is
+    [Upsample, ConvRelu, ConvRelu] whose block.0 has no parameters."""
+    state = strip_module_prefix(state)
+    return "center.block.0.conv.weight" in state
+
+
+def convert_full_checkpoint(
+    state: Mapping[str, np.ndarray], encoder: str
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """COMPLETE reference checkpoint (encoder + decoders + final head, the
+    state_dict the reference's ModelCheckpoint/save_model persist —
+    src/steps/pytorch/utils.py:67-75) -> (params, batch_stats) for the
+    matching Flax architecture named by `encoder`. The decoder flavor
+    (deconv vs bilinear) is auto-detected from the state_dict layout."""
+    state = strip_module_prefix(state)
+    is_deconv = detect_is_deconv(state)
+    if encoder.startswith("ResNet"):
+        return convert_unet_resnet(state, int(encoder[6:]), is_deconv)
+    if encoder == "AlbuNet":
+        return convert_albunet(state, is_deconv)
+    if encoder == "VGG11":
+        return convert_unet11(state), {}
+    if encoder == "VGG16":
+        return convert_unet_vgg16(state, is_deconv), {}
+    raise ValueError(
+        f"checkpoint import unsupported for encoder {encoder!r} (supported: "
+        "ResNet34/ResNet101/ResNet152/AlbuNet/VGG11/VGG16)")
+
+
 def graft_encoder_params(model_params, encoder_tree, path=("encoder",)):
     """Return model_params with the subtree at `path` replaced by
     `encoder_tree` (converted pretrained weights); shapes are validated."""

@@ -103,21 +103,91 @@ class UNetPipeline:
         if meta_valid is not None and len(meta_valid):
             x_valid, y_valid = _xy(meta_valid)
 
-        if os.path.exists(self.trainer_cache_path) and not self.config.params.get(
-                "overwrite", 0):
+        cached = os.path.exists(self.trainer_cache_path)
+        warm = bool(self.config.params.get("warm_start", 0))
+        if cached and not self.config.params.get("overwrite", 0) and not warm:
             logger.info("unet: loading cached transformer from %s",
                         self.trainer_cache_path)
             self.trainer.load(self.trainer_cache_path)
         else:
+            if cached and warm:
+                self._begin_stage()
             gens = self.loader.transform(x, y, x_valid, y_valid,
                                          train_mode=True)
             self.trainer.fit(gens["datagen"], gens["validation_datagen"],
                              meta_valid=meta_valid)
             self.trainer.save(self.trainer_cache_path)
+            self._mark_stage_complete()
         # the reference's fit_transform then ran inference+postprocessing
         # over the WHOLE training set only to discard it
         # (src/pipeline_manager.py:134-137 ignores the output); skip that.
         return {"y_pred": []}
+
+    # --------------------------------------------------------- import
+    def import_checkpoint(self, path):
+        """Product surface for the reference's deliverable checkpoints
+        (VERDICT r3 next #2): convert a complete torch UNet state_dict
+        (plain / {'state_dict': ...} / 'module.'-prefixed — reference
+        src/steps/pytorch/utils.py:67-75) into the TrainState and write the
+        transformer cache, so evaluate/predict_on_dir/serve/export run the
+        imported weights with no further steps."""
+        self.trainer.import_torch_checkpoint(path)
+        self.trainer.save(self.trainer_cache_path)
+        self._mark_stage_complete()
+        self._weights_loaded = True  # the live state IS the cache
+        logger.info("checkpoint imported -> %s", self.trainer_cache_path)
+        return self
+
+    # --------------------------------------------------- multistage train
+    @property
+    def _checkpoint_dir(self):
+        return self.config.unet.get("callbacks", {}).get("checkpoint_dir")
+
+    @property
+    def _stage_marker(self):
+        ck = self._checkpoint_dir
+        return os.path.join(ck, "STAGE_COMPLETE") if ck else None
+
+    def _mark_stage_complete(self):
+        """Completed-fit marker in the checkpoint dir: distinguishes a
+        finished stage (archive on the next warm start) from a killed one
+        (leave in place so its resume sidecar continues the schedule)."""
+        marker = self._stage_marker
+        if marker:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                f.write("stage complete\n")
+
+    def _begin_stage(self):
+        """`warm_start: 1` with an existing transformer cache: execute the
+        next stage of the reference's published multistage recipe
+        (README.md:86-91 — re-run train with new lr/dice_mask/epochs from
+        the previous stage's weights). The COMPLETED previous stage is
+        archived, never destroyed: its checkpoint dir moves to
+        `<checkpoint_dir>.stage{N}` and its weights copy to
+        `unet.stage{N}.msgpack` next to the cache. The new stage starts a
+        fresh epoch schedule, fresh optimizer state and FRESH best-
+        checkpoint/early-stop tracking (stage hyperparameters change the
+        loss surface, so cross-stage best-val comparison is meaningless).
+        A stage that was killed mid-run (resume sidecar present, no
+        STAGE_COMPLETE marker) is NOT archived — rerunning the same
+        command resumes its schedule."""
+        import shutil
+
+        ck = self._checkpoint_dir
+        marker = self._stage_marker
+        if ck and marker and os.path.exists(marker):
+            stem = self.trainer_cache_path[: -len(".msgpack")]
+            n = 1
+            while (os.path.isdir(f"{ck}.stage{n}")
+                   or os.path.exists(f"{stem}.stage{n}.msgpack")):
+                n += 1
+            shutil.move(ck, f"{ck}.stage{n}")
+            shutil.copy2(self.trainer_cache_path, f"{stem}.stage{n}.msgpack")
+            logger.info("warm start: archived completed stage "
+                        "(checkpoints -> %s.stage%d, weights -> "
+                        "%s.stage%d.msgpack)", ck, n, stem, n)
+        self.trainer.warm_start(self.trainer_cache_path)
 
     # -------------------------------------------------------- inference
     def transform(self, data, return_features=False):
@@ -207,9 +277,18 @@ class UNetPipeline:
         from mapping_tpu.models.quantize import quantized_probs_fn
 
         model, get_p, has_bs = self.trainer.serving_model_fns()
+
+        def version():
+            # (version, step) identifies the current weights — the same key
+            # the folded-BN cache uses (train/trainer.py _refresh_fold_params)
+            import jax as _jax
+            return (self.trainer._state_version,
+                    int(_jax.device_get(self.trainer.state.step)))
+
         return quantized_probs_fn(
             model, get_p, calib, has_batch_stats=has_bs,
-            calib_batch_size=int(self.config.params.batch_size_inference))
+            calib_batch_size=int(self.config.params.batch_size_inference),
+            version_fn=version)
 
     def _calibration_images(self):
         """First n preprocessed inference images from the experiment's

@@ -46,6 +46,23 @@ def load_state(state_template, path: str):
     )
 
 
+def load_weights_only(state_template, path: str):
+    """Weights-only restore (params + batch_stats) from EITHER checkpoint
+    flavor — a full save_state file or a params-only file. Used by the
+    warm-start path: a new training stage takes the previous stage's weights
+    but a FRESH optimizer state and step counter (the reference's multistage
+    recipe re-built the model and loaded only the state_dict per stage,
+    README.md:86-91), so the saved opt_state — whose tree structure may not
+    even match the new stage's schedule — is deliberately ignored."""
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    params = flax.serialization.from_state_dict(
+        state_template.params, raw["params"])
+    batch_stats = flax.serialization.from_state_dict(
+        state_template.batch_stats, raw.get("batch_stats", {}))
+    return state_template.replace(params=params, batch_stats=batch_stats)
+
+
 def save_params_only(state, path: str):
     """Inference-weight checkpoint (params + batch_stats)."""
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -74,6 +74,8 @@ class UNetTrainer:
         self._fold_compile = None
         self._state_version = 0  # bumped on load()/graft (cache invalidation)
         self._tta_cache = {}
+        self._warm_start_path = None
+        self.warm_started_from = None
 
     # ------------------------------------------------------------- state
     def _ensure_state(self, steps_per_epoch: int = 1):
@@ -94,6 +96,8 @@ class UNetTrainer:
             (1,) + self.input_size + (3,), tx)
         if self.pretrained_weights:
             self._graft_pretrained(self.pretrained_weights)
+        if self._warm_start_path:
+            self._apply_warm_start()
         if self.mesh is not None:
             from mapping_tpu.parallel import shard_pytree_replicated
 
@@ -157,6 +161,83 @@ class UNetTrainer:
                 f"pretrained weights unsupported for encoder {encoder!r}")
         self._state_version += 1  # invalidate the folded-BN param cache
         logger.info("grafted pretrained encoder weights from %s", path)
+
+    def warm_start(self, path):
+        """Continue-training entry (the `warm_start: 1` recipe): the NEXT
+        fit starts from the weights in `path` (a completed transformer
+        cache or any checkpoint) with a fresh optimizer state, step 0 and a
+        fresh epoch schedule — so a stage 2+ of the reference's published
+        4-stage training procedure (README.md:86-91: re-train with new
+        lr/dice_mask from the previous stage's weights) actually fits
+        instead of short-circuiting on the cache. If a resume sidecar from
+        an in-progress run exists, ResumeCheckpoint's on_train_begin load
+        runs AFTER this and wins — a killed warm-start run resumes its own
+        schedule rather than restarting from the previous stage."""
+        self._warm_start_path = path
+        if self.state is not None:
+            self._apply_warm_start()
+        return self
+
+    def _apply_warm_start(self):
+        from mapping_tpu.train.checkpoint import load_weights_only
+
+        path = self._warm_start_path
+        self.state = load_weights_only(self.state, path)
+        if self.mesh is not None:
+            from mapping_tpu.parallel import shard_pytree_replicated
+
+            self.state = shard_pytree_replicated(self.state, self.mesh)
+        self._state_version += 1  # invalidate folded-BN/quantized caches
+        self.warm_started_from = path
+        self._warm_start_path = None
+        logger.info("warm start: loaded stage weights from %s "
+                    "(fresh optimizer state + schedule)", path)
+
+    def import_torch_checkpoint(self, path):
+        """Import a COMPLETE reference checkpoint into the TrainState.
+
+        Accepts the full-model state_dict files the reference actually
+        delivers (src/steps/pytorch/utils.py:67-75: torch.save of
+        model.state_dict(), possibly wrapped in {'state_dict': ...} and/or
+        'module.'-prefixed from nn.DataParallel training) for all six
+        pretrained architectures, so `evaluate`/`predict_on_dir`/`serve`
+        run the reference's trained weights directly — real-data AP parity
+        becomes a pure data-availability question. Every leaf is validated
+        for shape; optimizer state and step reset (imports are for
+        inference or warm-started continue-training, never mid-run
+        resume)."""
+        import jax.numpy as jnp
+
+        from mapping_tpu.models.torch_convert import (convert_full_checkpoint,
+                                                      load_torch_file)
+
+        self._ensure_state()
+        state_dict = load_torch_file(path)
+        encoder = self.model_params.get("encoder", "")
+        params, batch_stats = convert_full_checkpoint(state_dict, encoder)
+
+        def cast(old, new):
+            if np.shape(old) != np.shape(new):
+                raise ValueError(
+                    f"checkpoint import shape mismatch: {np.shape(old)} vs "
+                    f"{np.shape(new)}")
+            return jnp.asarray(new, dtype=np.asarray(old).dtype)
+
+        # tree_map validates the full tree STRUCTURE too: a missing or extra
+        # module in the checkpoint fails loudly here, never silently serves
+        new_params = jax.tree_util.tree_map(cast, self.state.params, params)
+        new_stats = jax.tree_util.tree_map(cast, self.state.batch_stats,
+                                           batch_stats)
+        self.state = self.state.replace(params=new_params,
+                                        batch_stats=new_stats)
+        if self.mesh is not None:
+            from mapping_tpu.parallel import shard_pytree_replicated
+
+            self.state = shard_pytree_replicated(self.state, self.mesh)
+        self._state_version += 1  # invalidate folded-BN/quantized caches
+        logger.info("imported full reference checkpoint from %s (%s)", path,
+                    encoder)
+        return self
 
     def _place_batch(self, batch):
         if self.mesh is None:

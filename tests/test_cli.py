@@ -19,6 +19,9 @@ def test_command_flags():
     runner = CliRunner()
     out = runner.invoke(main, ["train", "--help"]).output
     assert "-p" in out and "--pipeline_name" in out and "--dev_mode" in out
+    assert "--warm_start" in out
+    out = runner.invoke(main, ["train_evaluate", "--help"]).output
+    assert "--warm_start" in out
     out = runner.invoke(main, ["evaluate", "--help"]).output
     assert "--chunk_size" in out
     out = runner.invoke(main, ["predict_on_dir", "--help"]).output
