@@ -113,7 +113,8 @@ def collect_stats(model, variables, batches, **apply_kwargs) -> Dict[str, float]
 # weight quantization
 # ---------------------------------------------------------------------------
 
-def build_qtable(params, act_stats: Dict[str, float]) -> Dict[str, Any]:
+def build_qtable(params, act_stats: Dict[str, float],
+                 min_dim: int = 0) -> Dict[str, Any]:
     """{path: {'w': int8 kernel, 'w_scale': f32[c_out], 'x_scale': f32[],
     'bias': f32[c_out]|None}} for every conv with a calibrated input.
 
@@ -121,6 +122,16 @@ def build_qtable(params, act_stats: Dict[str, float]) -> Dict[str, Any]:
     ConvTranspose kernels carry c_out last: HWIO / HWIO-transposed).
     Activations: per-tensor absmax / 127 from the calibration pass.
     Convs never seen in calibration (dead branches) stay float.
+
+    min_dim: cost-model gate — skip convs whose MXU occupancy cannot pay
+    for the quantize/dequant elementwise round-trip: a conv only runs at
+    the int8 rate when both the contraction depth (kh*kw*c_in) and the
+    output width (c_out) fill the 128-lane systolic array; below that the
+    int8 matmul saves little while the round/clip/convert passes still
+    ride every activation (measured: a 64-deep layer1 1x1 runs 47.9
+    TFLOP/s int8 — barely above bf16 — and 256-channel 3x3 stacks are
+    net SLOWER quantized, PERF.md "Requant-chain probe"). 0 = quantize
+    everything (the round-3 behavior).
     """
     qtable = {}
     for path, tree in conv_kernel_paths(params).items():
@@ -128,6 +139,9 @@ def build_qtable(params, act_stats: Dict[str, float]) -> Dict[str, Any]:
         if amax is None:
             continue
         kernel = np.asarray(tree["kernel"], np.float32)
+        kh, kw, c_in, c_out = kernel.shape
+        if min_dim and min(kh * kw * c_in, c_out) < min_dim:
+            continue  # float path: too narrow for int8 to pay
         w_scale = np.max(np.abs(kernel), axis=(0, 1, 2)) / 127.0
         w_scale = np.maximum(w_scale, _EPS)
         w_q = np.clip(np.round(kernel / w_scale), -127, 127).astype(np.int8)
@@ -225,7 +239,7 @@ def make_quantized_apply(model, **apply_kwargs):
 def quantized_probs_fn(model, get_params, calib_images,
                        has_batch_stats: bool = False,
                        calib_batch_size: Optional[int] = None,
-                       version_fn=None) -> Tuple[Any, Any]:
+                       version_fn=None, min_dim: int = 0) -> Tuple[Any, Any]:
     """(pure_probs_fn, get_packed) for FusedServe composition, int8 inside.
 
     model/get_params: the serving model + current-params getter (BN-folded
@@ -266,7 +280,7 @@ def quantized_probs_fn(model, get_params, calib_images,
     def build():
         variables = to_variables(get_params())
         stats = collect_stats(model, variables, batches, train=False)
-        qtable = build_qtable(variables["params"], stats)
+        qtable = build_qtable(variables["params"], stats, min_dim=min_dim)
         logger.info("quantized serving: %d conv(s) int8, calibrated on %d "
                     "image(s)", len(qtable), len(batches) * step)
         return {"variables": variables, "qtable": qtable}
