@@ -137,3 +137,40 @@ def test_trainer_mesh_multi_step_dispatch():
                       jax.tree_util.tree_leaves(trainers[2].state.params)):
         assert np.isfinite(np.asarray(p2)).all()
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=0.2)
+
+
+def test_warm_start_on_mesh_matches_single_device():
+    """warm_start under a mesh: the loaded stage weights re-shard
+    replicated and the warm-started mesh fit matches the warm-started
+    single-device fit (f32, loss-sequence comparison is overkill for one
+    step; params agree to reduction-order noise)."""
+    import os
+    import tempfile
+
+    datagen = _datagen()
+    t0 = _make_trainer(None).fit(datagen)
+    with tempfile.TemporaryDirectory() as d:
+        cache = os.path.join(d, "unet.msgpack")
+        t0.save(cache)
+
+        t_single = _make_trainer(None)
+        t_single.warm_start(cache)
+        t_single.fit(datagen)
+
+        t_mesh = _make_trainer(make_mesh())
+        t_mesh.warm_start(cache)
+        t_mesh.fit(datagen)
+
+    assert t_mesh.warm_started_from == cache
+    # same tolerance discipline as test_trainer_mesh_matches_single_device:
+    # cross-device reduction order shifts f32 Adam updates by ~1e-4; compare
+    # to that scale and require matching class decisions
+    p1 = jax.tree_util.tree_leaves(t_single.state.params)[0]
+    p2 = jax.tree_util.tree_leaves(t_mesh.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-4)
+    probs_s = np.concatenate([np.asarray(p) for p in
+                              t_single.predict_probs_datagen(datagen)])
+    probs_m = np.concatenate([np.asarray(p) for p in
+                              t_mesh.predict_probs_datagen(datagen)])
+    agree = (probs_s.argmax(-1) == probs_m.argmax(-1)).mean()
+    assert agree > 0.995, f"class decisions diverged: {agree}"
