@@ -212,7 +212,17 @@ class Microbatcher:
     def _take_batch(self):
         """Up to batch_size requests; after the first arrives, wait at most
         max_wait for stragglers (latency floor beats occupancy past that)."""
-        first = self._requests.get()
+        # stop-aware first get: close()'s wakeup sentinel is best-effort (a
+        # FULL bounded queue drops it), and if the batcher was mid-compute
+        # then, it would come back to block on a queue close() has already
+        # drained — poll so shutdown never leaks a blocked batcher thread
+        while True:
+            try:
+                first = self._requests.get(timeout=0.25)
+                break
+            except queue.Empty:
+                if self._stop.is_set():
+                    return None
         if first is None:
             return None
         if self._stop.is_set():

@@ -589,3 +589,64 @@ def test_worker_error_counted_in_stats():
         assert b.stats["errors"] + b.stats["timeouts"] == 1
     finally:
         b.close()
+
+
+def test_close_with_full_queue_does_not_leak_batcher_thread():
+    """Shutdown race: when the bounded queue is FULL at close() time the
+    wakeup sentinel is dropped (put_nowait -> Full); if the batcher was
+    mid-compute then, it must still exit instead of blocking forever on
+    the queue close() has already drained. The stop-aware get in
+    _take_batch is what this pins down."""
+    import time
+
+    gate = threading.Event()
+
+    def wedged_preprocess(u8):
+        gate.wait(timeout=120)
+        return _preprocess(u8)
+
+    serve = FusedServe(_probs_fn, _params, **POST)
+    b = Microbatcher(serve, wedged_preprocess, 1, category_ids=CAT_IDS,
+                     category_layers=CAT_LAYERS, max_wait_ms=0.1,
+                     max_pending=1)
+    img = _images(1, seed=5)[0]
+    results = {}
+
+    def client(i):
+        try:
+            results[i] = ("ok", b.submit(img, timeout=30, image_id=i))
+        except Exception as exc:  # shed / shutdown error both fine here
+            results[i] = ("err", repr(exc))
+
+    # request 0 occupies the batcher (wedged in preprocess), request 1
+    # fills the maxsize-1 queue so close()'s sentinel gets dropped
+    t0 = threading.Thread(target=client, args=(0,))
+    t0.start()
+    for _ in range(1000):
+        if b._requests.qsize() == 0:
+            break
+        time.sleep(0.01)
+    t1 = threading.Thread(target=client, args=(1,))
+    t1.start()
+    for _ in range(1000):
+        if b._requests.qsize() >= 1:
+            break
+        time.sleep(0.01)
+
+    closer = threading.Thread(target=b.close)
+    closer.start()
+    time.sleep(0.2)       # close() is now joining; queue still full
+    gate.set()            # release the wedged compute
+    closer.join(timeout=20)
+    assert not closer.is_alive(), "close() hung"
+    t0.join(timeout=10)
+    t1.join(timeout=10)
+    # the batcher thread must have exited (no leak past the 0.25s poll)
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline and any(
+            t.is_alive() for t in b._threads):
+        time.sleep(0.05)
+    assert not any(t.is_alive() for t in b._threads), \
+        "batcher thread leaked after close()"
+    # the queued request was failed, never silently dropped
+    assert 1 in results and results[1][0] in ("ok", "err")
