@@ -147,6 +147,17 @@ class COCOEvaluator:
                        if not p.use_cats or a["category_id"] == cat_id]
                 dts = [a for a in self.coco_dt.img_to_anns.get(img_id, [])
                        if not p.use_cats or a["category_id"] == cat_id]
+                # pycocotools truncates dt to the top maxDets[-1] by score
+                # BEFORE computing IoU (cocoeval.py computeIoU); every
+                # _evaluate_img cell slices to max_det <= max(max_dets)
+                # after its own stable sort, so results are identical and
+                # the IoU matrix stops scaling with raw detection count
+                # (the 19-threshold-layer scoring path emits thousands of
+                # suppressed zero-score detections per image)
+                top = max(p.max_dets)
+                if len(dts) > top:
+                    dts = sorted(dts,
+                                 key=lambda d: -d.get("score", 0.0))[:top]
                 ious = self._compute_iou(img_id, cat_id, gts, dts)
                 cells = []
                 for a_ind, a_rng in enumerate(p.area_rng):

@@ -416,7 +416,90 @@ class ScoringRandomForest(_ScoringModelBase):
 
 def remove_overlapping_masks(labels, scores, iou_threshold=0.5):
     """Greedy per-image NMS by score across all (layer, instance) pairs,
-    zeroing suppressed scores (reference src/postprocessing.py:367-380)."""
+    zeroing suppressed scores (reference src/postprocessing.py:367-380).
+
+    Fast path: one C++ RLE pass per layer (cpp/rle.cpp rle_instances),
+    then greedy suppression where each candidate pays an exact run-space
+    IoU only against survivors whose IoU *upper bound* — min(areas,
+    bbox-intersection) over the implied union — clears the threshold.
+    The dense variant below materializes an (H, W) boolean mask per PAIR,
+    O(n^2·H·W); at the scoring pipeline's 19 threshold layers x ~1e3
+    instances/image it runs for hours where this runs in seconds.
+    Outcomes are identical (same greedy order, same exact integer
+    inter/union, same strict >): _remove_overlapping_masks_dense is the
+    oracle the fuzz test checks against, and the fallback when the C++
+    toolchain is unavailable.
+    """
+    try:
+        from mapping_tpu.utils import native
+
+        if not native.available():
+            raise RuntimeError
+    except Exception:
+        return _remove_overlapping_masks_dense(labels, scores, iou_threshold)
+
+    entries = []       # (layer_nr, label_nr) by insertion order
+    entry_scores = []
+    handles = []
+    boxes = []
+    for layer_nr, layer_scores in enumerate(scores):
+        n = len(layer_scores)
+        if n == 0:
+            continue
+        packed = native.rle_instances(
+            np.ascontiguousarray(labels[layer_nr]), n)
+        for idx, (counts, bbox) in enumerate(packed):
+            entries.append((layer_nr, idx + 1))
+            entry_scores.append(float(layer_scores[idx]))
+            handles.append(native.RleHandle(counts))
+            boxes.append(bbox)
+    m = len(entries)
+    if m == 0:
+        return labels, scores
+    # stable descending sort == the dense path's list.sort(reverse=True):
+    # ties keep (layer, label) insertion order
+    order = sorted(range(m), key=lambda i: entry_scores[i], reverse=True)
+    b = np.asarray(boxes, dtype=np.float64).reshape(m, 4)
+    x1, y1 = b[:, 0], b[:, 1]
+    x2, y2 = x1 + b[:, 2], y1 + b[:, 3]
+    areas = np.array([h.area for h in handles], dtype=np.float64)
+    # survivor state, filled incrementally (k = survivor count)
+    sx1 = np.empty(m)
+    sy1 = np.empty(m)
+    sx2 = np.empty(m)
+    sy2 = np.empty(m)
+    sarea = np.empty(m)
+    surv_idx = []
+    for i in order:
+        k = len(surv_idx)
+        suppressed = False
+        if k:
+            iw = np.minimum(x2[i], sx2[:k]) - np.maximum(x1[i], sx1[:k])
+            ih = np.minimum(y2[i], sy2[:k]) - np.maximum(y1[i], sy1[:k])
+            bbox_inter = np.maximum(iw, 0.0) * np.maximum(ih, 0.0)
+            inter_ub = np.minimum(np.minimum(areas[i], sarea[:k]),
+                                  bbox_inter)
+            union_lb = np.maximum(areas[i] + sarea[:k] - inter_ub, 1.0)
+            gated = np.nonzero(inter_ub / union_lb > iou_threshold)[0]
+            hi = handles[i]
+            for j in gated:
+                if native.rle_iou_pair(
+                        hi, handles[surv_idx[j]]) > iou_threshold:
+                    suppressed = True
+                    break
+        if suppressed:
+            li, ni = entries[i]
+            scores[li][ni - 1] = 0
+        else:
+            sx1[k], sy1[k], sx2[k], sy2[k] = x1[i], y1[i], x2[i], y2[i]
+            sarea[k] = areas[i]
+            surv_idx.append(i)
+    return labels, scores
+
+
+def _remove_overlapping_masks_dense(labels, scores, iou_threshold=0.5):
+    """Reference-shaped dense implementation (per-pair boolean masks);
+    oracle for the RLE fast path and fallback without the C++ library."""
     entries = []
     for layer_nr, layer_scores in enumerate(scores):
         for label_idx, score in enumerate(layer_scores):

@@ -79,6 +79,27 @@ def rle_instances(labels, n_instances):
     return out
 
 
+class RleHandle:
+    """One RLE's decoded counts pinned as a ctypes array so repeated
+    rle_iou_single calls (the NMS hot loop) skip the per-call decode +
+    marshal; `area` is the foreground pixel count (sum of odd runs)."""
+
+    __slots__ = ("arr", "n", "area")
+
+    def __init__(self, counts_bytes):
+        lib = _load()
+        nb = len(counts_bytes)
+        out = (ctypes.c_long * (nb + 1))()
+        self.n = lib.rle_string_to_counts(counts_bytes, nb, out)
+        self.arr = out
+        self.area = int(sum(out[i] for i in range(1, self.n, 2)))
+
+
+def rle_iou_pair(a: "RleHandle", b: "RleHandle") -> float:
+    """Exact (non-crowd) IoU between two RleHandles."""
+    return _load().rle_iou_single(a.arr, a.n, b.arr, b.n, 0)
+
+
 def rle_iou(dt_rles, gt_rles, iscrowd):
     import numpy as np
 
