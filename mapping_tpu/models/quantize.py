@@ -97,9 +97,15 @@ def make_stats_fn(model, **apply_kwargs):
     return run
 
 
-def collect_stats(model, variables, batches, **apply_kwargs) -> Dict[str, float]:
-    """Max over calibration batches of each conv input's |x| max."""
-    fn = jax.jit(make_stats_fn(model, **apply_kwargs))
+def collect_stats(model, variables, batches, stats_fn=None,
+                  **apply_kwargs) -> Dict[str, float]:
+    """Max over calibration batches of each conv input's |x| max.
+
+    stats_fn: a prebuilt jitted make_stats_fn — pass it when calibration
+    can rerun (version-drift recalibration) so the float forward is traced
+    and compiled once, not per rebuild."""
+    fn = stats_fn if stats_fn is not None \
+        else jax.jit(make_stats_fn(model, **apply_kwargs))
     acc: Dict[str, float] = {}
     for images in batches:
         _, stats = fn(variables, images)
@@ -277,9 +283,14 @@ def quantized_probs_fn(model, get_params, calib_images,
         step = n
     batches = [calib_images[i:i + step] for i in bounds]
 
+    # one jitted calibration forward shared across version-drift rebuilds
+    # (a fresh jax.jit wrapper per rebuild would retrace + recompile the
+    # whole float forward inside a serving dispatch)
+    stats_fn = jax.jit(make_stats_fn(model, train=False))
+
     def build():
         variables = to_variables(get_params())
-        stats = collect_stats(model, variables, batches, train=False)
+        stats = collect_stats(model, variables, batches, stats_fn=stats_fn)
         qtable = build_qtable(variables["params"], stats, min_dim=min_dim)
         logger.info("quantized serving: %d conv(s) int8, calibrated on %d "
                     "image(s)", len(qtable), len(batches) * step)

@@ -170,14 +170,37 @@ class UNetPipeline:
         checkpoint/early-stop tracking (stage hyperparameters change the
         loss surface, so cross-stage best-val comparison is meaningless).
         A stage that was killed mid-run (resume sidecar present, no
-        STAGE_COMPLETE marker) is NOT archived — rerunning the same
-        command resumes its schedule."""
+        STAGE_COMPLETE marker, stage archives present) is NOT archived —
+        rerunning the same command resumes its schedule. A checkpoint dir
+        with NO marker and NO archives is a stage completed before the
+        marker existed (legacy experiments): archived like a marked one."""
         import shutil
 
         ck = self._checkpoint_dir
         marker = self._stage_marker
-        if ck and marker and os.path.exists(marker):
-            stem = self.trainer_cache_path[: -len(".msgpack")]
+        stem = self.trainer_cache_path[: -len(".msgpack")]
+        completed = bool(ck and marker and os.path.exists(marker))
+        if ck and not completed:
+            # Legacy boundary: experiments that completed a train BEFORE the
+            # STAGE_COMPLETE marker existed hold that stage's checkpoint dir
+            # (and usually its resume sidecar) but no marker. Left in place,
+            # the stale sidecar would overwrite the warm-started state in
+            # ResumeCheckpoint.on_train_begin and resume a schedule that is
+            # already past its end — the new stage would silently train zero
+            # epochs. A killed warm-started stage always has archived
+            # predecessors (archiving happens before fitting), and a killed
+            # FIRST stage never reaches here (the transformer cache is only
+            # written by a completed fit), so checkpoint-dir-without-archives
+            # can only be a completed pre-marker stage: archive it.
+            has_archives = (os.path.isdir(f"{ck}.stage1")
+                            or os.path.exists(f"{stem}.stage1.msgpack"))
+            if os.path.isdir(ck) and not has_archives:
+                completed = True
+                logger.warning(
+                    "warm start: checkpoint dir has no STAGE_COMPLETE marker "
+                    "and no stage archives (pre-marker experiment); treating "
+                    "the previous stage as completed and archiving it")
+        if completed:
             n = 1
             while (os.path.isdir(f"{ck}.stage{n}")
                    or os.path.exists(f"{stem}.stage{n}.msgpack")):
@@ -281,9 +304,7 @@ class UNetPipeline:
         def version():
             # (version, step) identifies the current weights — the same key
             # the folded-BN cache uses (train/trainer.py _refresh_fold_params)
-            import jax as _jax
-            return (self.trainer._state_version,
-                    int(_jax.device_get(self.trainer.state.step)))
+            return (self.trainer._state_version, self.trainer.step_int())
 
         return quantized_probs_fn(
             model, get_p, calib, has_batch_stats=has_bs,

@@ -76,6 +76,24 @@ class UNetTrainer:
         self._tta_cache = {}
         self._warm_start_path = None
         self.warm_started_from = None
+        self._step_cache = None  # (step array, int) — see step_int()
+
+    def step_int(self) -> int:
+        """Host int of state.step without a per-call device round trip.
+
+        Serving paths key weight-freshness caches on (_state_version, step)
+        and consult it every dispatch; fetching the same committed scalar
+        repeatedly is cheap only because jax.Array memoizes its host copy —
+        an internal detail. Cache explicitly by array identity instead (the
+        held reference keeps `is` sound against CPython id reuse); a train
+        step replaces state.step with a new array and triggers a refetch."""
+        step = self.state.step
+        cached = self._step_cache
+        if cached is not None and cached[0] is step:
+            return cached[1]
+        val = int(jax.device_get(step))
+        self._step_cache = (step, val)
+        return val
 
     # ------------------------------------------------------------- state
     def _ensure_state(self, steps_per_epoch: int = 1):
@@ -221,7 +239,9 @@ class UNetTrainer:
                 raise ValueError(
                     f"checkpoint import shape mismatch: {np.shape(old)} vs "
                     f"{np.shape(new)}")
-            return jnp.asarray(new, dtype=np.asarray(old).dtype)
+            # result_type reads the device array's dtype metadata;
+            # np.asarray(old) would pull every parameter D2H just to ask it
+            return jnp.asarray(new, dtype=jnp.result_type(old))
 
         # tree_map validates the full tree STRUCTURE too: a missing or extra
         # module in the checkpoint fails loudly here, never silently serves
@@ -389,7 +409,7 @@ class UNetTrainer:
         training, version bumps on load()/graft. id(params) was unsound —
         CPython reuses addresses after GC, which could serve stale folds.
         """
-        key = (self._state_version, int(jax.device_get(self.state.step)))
+        key = (self._state_version, self.step_int())
         if self._fold_key != key:
             self._fold_params = self._fold_compile(
                 self.state.params, self.state.batch_stats)

@@ -42,6 +42,10 @@ def _union_and_edges(masks: Sequence[np.ndarray], shape):
         interior[:-1, :] &= m[1:, :]
         interior[:, 1:] &= m[:, :-1]
         interior[:, :-1] &= m[:, 1:]
+        # out-of-image neighbors are background: a mask flush against the
+        # tile edge still gets its 1-px boundary drawn along that edge
+        interior[0, :] = interior[-1, :] = False
+        interior[:, 0] = interior[:, -1] = False
         edges |= m & ~interior
         union |= m
     return union, edges
@@ -84,8 +88,16 @@ def visualize_predictions(prediction_path: str, data_dir: str, out_dir: str,
     dt = gt.load_res(results) if results else None
 
     if image_ids is None:
-        candidates = (sorted({int(r["image_id"]) for r in results})
+        # sample only ids the GT split actually has — predicted ids from a
+        # different split would be skipped below and silently shrink the
+        # requested sample even when enough valid candidates exist
+        predicted = {int(r["image_id"]) for r in results}
+        candidates = (sorted(predicted & set(gt.imgs))
                       or sorted(gt.get_img_ids()))
+        dropped = len(predicted) - len(predicted & set(gt.imgs))
+        if dropped:
+            logger.warning("%d predicted image id(s) absent from %s GT; "
+                           "sampling the rest", dropped, dataset)
         rng = np.random.RandomState(seed)
         take = min(int(n_images), len(candidates))
         image_ids = sorted(rng.choice(candidates, size=take, replace=False))

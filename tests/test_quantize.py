@@ -221,3 +221,39 @@ def test_version_fn_recalibrates_on_weight_change():
     assert np.abs(after - before).max() > 1e-4
     # stable afterwards
     assert get_packed() is packed2
+
+
+def test_recalibration_reuses_one_jitted_stats_fn(monkeypatch):
+    """Version-drift recalibration must NOT rebuild the jitted calibration
+    forward (a fresh jax.jit wrapper would retrace + recompile the whole
+    float model inside a serving dispatch): make_stats_fn is called once
+    per quantized_probs_fn, not once per rebuild."""
+    import mapping_tpu.models.quantize as qz
+    from mapping_tpu.models import build_network
+
+    calls = {"n": 0}
+    real = qz.make_stats_fn
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(qz, "make_stats_fn", counting)
+
+    model = build_network({"encoder": "from_scratch", "n_filters": 8,
+                           "repeat_blocks": 2})
+    x = jnp.asarray(np.random.RandomState(6).rand(1, 64, 64, 3)
+                    .astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    holder = {"version": 0}
+    probs_fn, get_packed = qz.quantized_probs_fn(
+        model, lambda: (variables["params"],
+                        variables.get("batch_stats", {})),
+        np.asarray(x), has_batch_stats=True,
+        version_fn=lambda: holder["version"])
+    get_packed()
+    holder["version"] = 1
+    get_packed()  # rebuilds the qtable...
+    holder["version"] = 2
+    get_packed()
+    assert calls["n"] == 1  # ...but never re-traces the calibration forward

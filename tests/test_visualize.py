@@ -88,6 +88,40 @@ def test_visualize_score_threshold_filters(workspace, tmp_path):
     assert np.abs(a - b).max() > 0
 
 
+def test_visualize_samples_only_gt_ids(workspace, tmp_path):
+    """Predicted image_ids absent from the GT split (e.g. a prediction.json
+    from a different split) must not shrink the sample: sampling draws from
+    the ids the GT actually has, so the requested count is written."""
+    from mapping_tpu.utils.visualize import visualize_predictions
+
+    pred = _fake_prediction(workspace["data_dir"], n=2)
+    # a foreign id that the val GT does not contain
+    foreign = dict(pred[0], image_id=999999)
+    pred_path = os.path.join(workspace["root"], "prediction_foreign.json")
+    with open(pred_path, "w") as f:
+        json.dump(pred + [foreign], f)
+
+    written = visualize_predictions(pred_path, workspace["data_dir"],
+                                    str(tmp_path / "out"), n_images=2,
+                                    seed=0)
+    assert len(written) == 2
+    assert not any("999999" in p for p in written)
+
+
+def test_border_touching_mask_gets_border_edge():
+    """A mask flush against the tile edge is boundary there (out-of-image
+    neighbors are background), so the 1-px hard edge the overlay promises
+    is drawn along the image border too."""
+    from mapping_tpu.utils.visualize import _union_and_edges
+
+    mask = np.zeros((10, 10), bool)
+    mask[0:4, 0:4] = True  # touches the top-left corner
+    _, edges = _union_and_edges([mask], (10, 10))
+    assert edges[0, 0] and edges[0, 2] and edges[2, 0]  # border rows/cols
+    assert edges[3, 1] and edges[1, 3]                  # interior boundary
+    assert not edges[1, 1]                              # true interior
+
+
 def test_visualize_cli_registered():
     from click.testing import CliRunner
 

@@ -132,20 +132,51 @@ def test_begin_stage_archives_completed_stage(tmp_path):
 
 
 def test_begin_stage_leaves_killed_stage_in_place(tmp_path):
-    """An IN-PROGRESS stage (resume sidecar, no marker) is NOT archived:
-    rerunning the same warm-start command resumes its own schedule."""
+    """An IN-PROGRESS stage (resume sidecar, no marker, archived
+    predecessors — archiving precedes fitting, so a killed warm-started
+    stage always has them) is NOT archived: rerunning the same warm-start
+    command resumes its own schedule."""
     p = _stage_pipeline(tmp_path)
     ck = p._checkpoint_dir
     os.makedirs(ck)
     with open(os.path.join(ck, "last.msgpack"), "wb") as f:
         f.write(b"stage2-partial")
+    os.makedirs(f"{ck}.stage1")  # stage 1's archive, made when stage 2 began
     os.makedirs(os.path.dirname(p.trainer_cache_path))
     with open(p.trainer_cache_path, "wb") as f:
         f.write(b"stage1-weights")
 
     p._begin_stage()
     assert os.path.exists(os.path.join(ck, "last.msgpack"))
-    assert not os.path.isdir(f"{ck}.stage1")
+    assert not os.path.isdir(f"{ck}.stage2")
+    assert p.trainer._warm_start_path == p.trainer_cache_path
+
+
+def test_begin_stage_archives_legacy_pre_marker_stage(tmp_path):
+    """A checkpoint dir with NO marker and NO stage archives predates the
+    STAGE_COMPLETE marker (legacy completed stage). Its stale resume
+    sidecar must NOT hijack the new stage's fresh schedule (it would
+    resume past the old schedule's end and train ZERO epochs): the stage
+    is treated as completed and archived."""
+    p = _stage_pipeline(tmp_path)
+    ck = p._checkpoint_dir
+    os.makedirs(ck)
+    with open(os.path.join(ck, "last.msgpack"), "wb") as f:
+        f.write(b"legacy-resume")
+    os.makedirs(os.path.dirname(p.trainer_cache_path))
+    with open(p.trainer_cache_path, "wb") as f:
+        f.write(b"legacy-weights")
+
+    p._begin_stage()
+    # archived exactly like a marked completed stage: the sidecar moved
+    # out of the live checkpoint dir, weights copied, cache untouched
+    assert not os.path.exists(ck)
+    assert os.path.exists(os.path.join(f"{ck}.stage1", "last.msgpack"))
+    archived = p.trainer_cache_path[:-len(".msgpack")] + ".stage1.msgpack"
+    with open(archived, "rb") as f:
+        assert f.read() == b"legacy-weights"
+    with open(p.trainer_cache_path, "rb") as f:
+        assert f.read() == b"legacy-weights"
     assert p.trainer._warm_start_path == p.trainer_cache_path
 
 
