@@ -254,6 +254,16 @@ class ArtifactServe:
 
         devices = list(devices if devices is not None
                        else jax.local_devices())
+        if len(devices) < 2:
+            # gate on the devices replicate actually uses: on a multi-process
+            # topology jax.devices() counts other hosts' chips, but replay
+            # can only round-robin over ADDRESSABLE ones — with a single
+            # local device the replica path would just add a per-chunk
+            # device_put over the plain path
+            logger.warning(
+                "data-parallel artifact replay requested but only %d "
+                "addressable device(s); running one replica", len(devices))
+            return self
         self._replica_leaves = {
             d: [jax.device_put(leaf, d) for leaf in self._leaves]
             for d in devices}
@@ -391,13 +401,7 @@ def predict_dir_with_artifact(artifact_dir: str, dir_path: str,
 
     art = load_artifact(artifact_dir)
     if data_parallel:
-        import jax
-
-        if len(jax.devices()) > 1:
-            art.replicate()
-        else:
-            logger.warning("data_parallel artifact replay requested on a "
-                           "single-device host; running one replica")
+        art.replicate()  # no-op with a warning on a single local device
     meta = generate_inference_metadata(images_dir=dir_path)
     if not len(meta):
         raise ValueError(f"no images found under {dir_path}")

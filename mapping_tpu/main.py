@@ -165,16 +165,20 @@ def export_cmd(manager, pipeline_name, dir_path, platforms):
 @click.option("--dataset", default="val",
               help="GT split under data_dir (annotation.json + images/)")
 @click.option("--score_threshold", type=float, default=0.0)
+@click.option("--max_dets", type=int, default=100,
+              help="draw at most the top-K detections per image by score "
+                   "(the eval maxDets protocol); 0 = unlimited")
 @click.pass_obj
 def visualize(manager, prediction_path, out_dir, n_images, dataset,
-              score_threshold):
+              score_threshold, max_dets):
     """GT-vs-prediction overlay PNGs for sampled images — the reference's
     results_exploration notebook as a product command."""
     from mapping_tpu.utils.visualize import visualize_predictions
 
     written = visualize_predictions(
         prediction_path, manager.params.data_dir, out_dir,
-        dataset=dataset, n_images=n_images, score_threshold=score_threshold)
+        dataset=dataset, n_images=n_images, score_threshold=score_threshold,
+        max_dets=max_dets)
     click.echo(json.dumps({"written": written}))
 
 

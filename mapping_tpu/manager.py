@@ -71,15 +71,23 @@ class PipelineManager:
         else:
             assert cl[1] == 1, (
                 "Training the base unet requires category_layers [1, 1]")
-        if warm_start:
-            self.config.params["warm_start"] = 1
-        if self.config.params.get("warm_start", 0) and self.config.params.get(
-                "overwrite", 0):
+        if (warm_start or self.config.params.get("warm_start", 0)) \
+                and self.config.params.get("overwrite", 0):
             raise ValueError(
                 "warm_start and overwrite are mutually exclusive: overwrite "
                 "deletes the experiment dir (including the previous stage's "
                 "weights warm_start would continue from)")
-        train(pipeline_name, dev_mode, self.config)
+        # scope the flag to THIS call: config.params is shared state, and a
+        # later train() on the same manager must not silently warm-start
+        # (archiving the checkpoint dir and fitting another stage) because
+        # an earlier call asked for it
+        prev = self.config.params.get("warm_start", 0)
+        if warm_start:
+            self.config.params["warm_start"] = 1
+        try:
+            train(pipeline_name, dev_mode, self.config)
+        finally:
+            self.config.params["warm_start"] = prev
 
     def evaluate(self, pipeline_name, dev_mode, chunk_size):
         cl = self._category_layers()
@@ -258,10 +266,7 @@ def evaluate_with_artifact(artifact_dir, dev_mode, chunk_size, config):
 
     art = load_artifact(artifact_dir)
     if params.get("data_parallel", 0):
-        import jax
-
-        if len(jax.devices()) > 1:
-            art.replicate()  # N-replica data-parallel replay
+        art.replicate()  # N-replica replay; single-local-device no-op
     prediction = predict_paths_with_artifact(
         art, list(meta_valid[Y_COLUMNS_SCORING[0]].values),
         list(meta_valid[X_COLUMNS[0]].values),

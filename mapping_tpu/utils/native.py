@@ -8,6 +8,8 @@ pycocotools implemented in C for the same reason. Built lazily via
 
 import ctypes
 
+import numpy as np
+
 from mapping_tpu.utils.native_lib import NativeLib
 
 
@@ -92,7 +94,12 @@ class RleHandle:
         out = (ctypes.c_long * (nb + 1))()
         self.n = lib.rle_string_to_counts(counts_bytes, nb, out)
         self.arr = out
-        self.area = int(sum(out[i] for i in range(1, self.n, 2)))
+        # vectorized view over the ctypes buffer: one handle is built per
+        # instance (thousands per image on the scoring path), and a Python
+        # generator over per-item ctypes getters costs more than the
+        # suppression loop this fast path exists for
+        runs = np.frombuffer(out, dtype=np.int64, count=self.n)
+        self.area = int(runs[1::2].sum())
 
 
 def rle_iou_pair(a: "RleHandle", b: "RleHandle") -> float:

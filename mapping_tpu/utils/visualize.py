@@ -69,13 +69,18 @@ def visualize_predictions(prediction_path: str, data_dir: str, out_dir: str,
                           dataset: str = "val", n_images: int = 8,
                           image_ids: Optional[Sequence[int]] = None,
                           score_threshold: float = 0.0,
+                          max_dets: int = 100,
                           seed: int = 1234) -> List[str]:
     """Write GT-vs-prediction overlay PNGs for sampled images.
 
     prediction_path: a COCO results json (what `evaluate`/`predict_on_dir`
     write). data_dir/dataset holds annotation.json + images/ in the
     reference layout. image_ids overrides the deterministic sample.
-    Returns the written file paths.
+    max_dets: draw at most the top-K detections per image by score — the
+    COCO eval protocol's maxDets cap, so the overlay shows what the metric
+    ranks; scoring-pipeline jsons carry every candidate instance (GBM
+    scores ~1e-4 for junk), and drawing them all would bury the real
+    detections. Returns the written file paths.
     """
     from PIL import Image
 
@@ -117,8 +122,22 @@ def visualize_predictions(prediction_path: str, data_dir: str, out_dir: str,
                     gt.load_anns(gt.get_ann_ids(img_ids=[image_id]))]
         pred_anns = (dt.load_anns(dt.get_ann_ids(img_ids=[image_id]))
                      if dt is not None else [])
-        pred_masks = [dt.ann_to_mask(a) for a in pred_anns
-                      if float(a.get("score", 1.0)) >= score_threshold]
+        # score 0.0 marks an NMS-suppressed instance in scoring-pipeline
+        # prediction.json files (scoring.py zeroes suppressed scores, it
+        # never removes the annotation) — never drawn, even at the default
+        # threshold 0: thousands of suppressed masks per image would paint
+        # the overlay solid red and take minutes to decode
+        kept = [a for a in pred_anns
+                if float(a.get("score", 1.0)) > 0.0
+                and float(a.get("score", 1.0)) >= score_threshold]
+        kept.sort(key=lambda a: -float(a.get("score", 1.0)))  # stable
+        if max_dets and len(kept) > max_dets:
+            logger.info(
+                "image %d: drawing top %d of %d detections by score (the "
+                "eval maxDets protocol); raise --score_threshold to cut "
+                "low-score instances", image_id, max_dets, len(kept))
+            kept = kept[:max_dets]
+        pred_masks = [dt.ann_to_mask(a) for a in kept]
         overlay = overlay_instances(tile, gt_masks, pred_masks)
         path = os.path.join(out_dir, f"overlay_{image_id}.png")
         Image.fromarray(overlay).save(path)

@@ -404,3 +404,28 @@ def test_artifact_predict_decodes_next_chunk_during_compute(monkeypatch):
                      if any(a < t < b for a, b in windows))
     assert overlapped >= 2, (
         f"no decode overlapped compute: windows={windows} decodes={decodes}")
+
+
+def test_replicate_single_device_is_a_noop(workspace, tmp_path):
+    """The data-parallel gate lives INSIDE replicate() and keys on the
+    devices it actually uses (addressable ones): with one device the
+    replica table is not built — the plain path (no per-chunk device_put)
+    serves, with identical outputs."""
+    import jax
+
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    export_serving_artifact(pipeline, manager.config, out)
+
+    art = load_artifact(out)
+    tiles = _tiles(5, art.image_hw, seed=3)
+    want = art(tiles)
+
+    art_one = load_artifact(out).replicate(devices=[jax.devices()[0]])
+    assert not art_one._replica_leaves  # table not built
+    got = art_one(tiles)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

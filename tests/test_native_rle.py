@@ -75,3 +75,16 @@ def test_string_codec_roundtrip_cpp():
                 c |= 0x20
             py.append(c + 48)
     assert s == bytes(py)
+
+
+def test_rle_handle_area_matches_decoded_mask():
+    """RleHandle.area (vectorized odd-run sum over the ctypes buffer) equals
+    the decoded mask's pixel count, including empty and full masks."""
+    rng = np.random.RandomState(11)
+    masks = [np.zeros((13, 9), np.uint8),
+             np.ones((13, 9), np.uint8),
+             (rng.rand(13, 9) > 0.5).astype(np.uint8)]
+    for mask in masks:
+        counts = rle_ops.encode(mask)["counts"]
+        h = native.RleHandle(counts)
+        assert h.area == int(mask.sum())

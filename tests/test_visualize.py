@@ -131,3 +131,84 @@ def test_visualize_cli_registered():
     assert "visualize" in runner.invoke(main, ["--help"]).output
     out = runner.invoke(main, ["visualize", "--help"]).output
     assert "--prediction_path" in out and "--out_dir" in out
+
+
+def test_visualize_drops_nms_suppressed_zero_scores(workspace, tmp_path):
+    """Scoring-pipeline prediction.json files keep every instance and mark
+    NMS suppression by zeroing the score; at the DEFAULT threshold those
+    must not be drawn (they would paint the overlay solid red and decode
+    thousands of masks per image)."""
+    from mapping_tpu.utils.visualize import visualize_predictions
+
+    pred = _fake_prediction(workspace["data_dir"], n=1)
+    suppressed = dict(pred[0], score=0.0)
+    base_path = os.path.join(workspace["root"], "prediction_kept.json")
+    supp_path = os.path.join(workspace["root"], "prediction_supp.json")
+    with open(base_path, "w") as f:
+        json.dump(pred, f)
+    with open(supp_path, "w") as f:
+        json.dump([suppressed], f)
+
+    kept = visualize_predictions(base_path, workspace["data_dir"],
+                                 str(tmp_path / "kept"), n_images=1)
+    none = visualize_predictions(supp_path, workspace["data_dir"],
+                                 str(tmp_path / "none"), n_images=1)
+    from PIL import Image
+
+    a = np.asarray(Image.open(kept[0]))
+    b = np.asarray(Image.open(none[0]))
+    # the suppressed-only overlay differs (no prediction drawn)
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+    # and contains no prediction channel at all: equals an empty prediction
+    empty_path = os.path.join(workspace["root"], "prediction_empty.json")
+    with open(empty_path, "w") as f:
+        json.dump([dict(pred[0], score=0.0)], f)
+    c = visualize_predictions(empty_path, workspace["data_dir"],
+                              str(tmp_path / "empty"), n_images=1,
+                              image_ids=[pred[0]["image_id"]])
+    np.testing.assert_array_equal(b, np.asarray(Image.open(c[0])))
+
+
+def test_visualize_max_dets_caps_by_score(workspace, tmp_path):
+    """Overlays draw at most the top-K detections by score (the eval
+    protocol's maxDets): a flood of low-score junk must not change the
+    overlay once the cap keeps only the high scorers."""
+    from mapping_tpu.utils.visualize import visualize_predictions
+
+    pred = _fake_prediction(workspace["data_dir"], n=1)
+    info_id = pred[0]["image_id"]
+    junk = []
+    for k in range(40):
+        j = dict(pred[0], score=1e-4)
+        # tiny distinct specks so junk visibly differs when drawn
+        from mapping_tpu.ops import rle as rle_ops
+
+        size = j["segmentation"]["size"]
+        mask = np.zeros(size, np.uint8)
+        mask[100 + 2 * (k % 20), 100 + 2 * (k // 20)] = 1
+        counts = rle_ops.encode(mask)["counts"]
+        j["segmentation"] = {"size": size,
+                             "counts": counts.decode("utf-8")
+                             if isinstance(counts, bytes) else counts}
+        junk.append(j)
+    clean_path = os.path.join(workspace["root"], "prediction_clean.json")
+    flood_path = os.path.join(workspace["root"], "prediction_flood.json")
+    with open(clean_path, "w") as f:
+        json.dump(pred, f)
+    with open(flood_path, "w") as f:
+        json.dump(pred + junk, f)
+
+    from PIL import Image
+
+    a = visualize_predictions(clean_path, workspace["data_dir"],
+                              str(tmp_path / "clean"), image_ids=[info_id])
+    b = visualize_predictions(flood_path, workspace["data_dir"],
+                              str(tmp_path / "capped"), image_ids=[info_id],
+                              max_dets=1)
+    np.testing.assert_array_equal(np.asarray(Image.open(a[0])),
+                                  np.asarray(Image.open(b[0])))
+    c = visualize_predictions(flood_path, workspace["data_dir"],
+                              str(tmp_path / "uncapped"),
+                              image_ids=[info_id], max_dets=0)
+    assert np.abs(np.asarray(Image.open(a[0])).astype(int)
+                  - np.asarray(Image.open(c[0])).astype(int)).max() > 0

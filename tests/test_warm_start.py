@@ -271,3 +271,24 @@ def test_multistage_recipe_executes(tmp_path):
     ap2, _ = m2.evaluate("unet", dev_mode=False, chunk_size=None)
     assert ap2 >= ap1 - 1e-6, (ap1, ap2)
     assert ap2 > 0.3
+
+
+def test_manager_train_does_not_leak_warm_start_flag(tmp_path, monkeypatch):
+    """warm_start=True is scoped to the single train() call: config.params
+    is shared state, and a later train() on the same manager must not
+    silently warm-start (archive + refit) because an earlier call asked."""
+    import mapping_tpu.manager as mgr
+
+    seen = []
+    monkeypatch.setattr(
+        mgr, "train",
+        lambda name, dev, config: seen.append(
+            config.params.get("warm_start", 0)))
+    manager = mgr.PipelineManager(None, overrides={
+        "experiment_dir": str(tmp_path / "experiment"),
+        "meta_dir": str(tmp_path / "meta")})
+    manager.train("unet", dev_mode=True, warm_start=True)
+    assert seen == [1]
+    assert manager.config.params.get("warm_start", 0) == 0
+    manager.train("unet", dev_mode=True)
+    assert seen == [1, 0]
