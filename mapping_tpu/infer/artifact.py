@@ -263,6 +263,10 @@ class ArtifactServe:
             logger.warning(
                 "data-parallel artifact replay requested but only %d "
                 "addressable device(s); running one replica", len(devices))
+            # drop any previously built replica table: re-replicating down
+            # to one device must not keep the old N-way round-robin active
+            self._replica_leaves = {}
+            self._replica_devices = None
             return self
         self._replica_leaves = {
             d: [jax.device_put(leaf, d) for leaf in self._leaves]

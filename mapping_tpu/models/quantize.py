@@ -285,12 +285,17 @@ def quantized_probs_fn(model, get_params, calib_images,
 
     # one jitted calibration forward shared across version-drift rebuilds
     # (a fresh jax.jit wrapper per rebuild would retrace + recompile the
-    # whole float forward inside a serving dispatch)
-    stats_fn = jax.jit(make_stats_fn(model, train=False))
+    # whole float forward inside a serving dispatch). Without a version_fn
+    # there are no rebuilds: let collect_stats make its own ephemeral jit
+    # so the compiled float-forward executable is freed after calibration
+    # instead of pinned for the serving process's lifetime.
+    stats_fn = (jax.jit(make_stats_fn(model, train=False))
+                if version_fn is not None else None)
 
     def build():
         variables = to_variables(get_params())
-        stats = collect_stats(model, variables, batches, stats_fn=stats_fn)
+        stats = collect_stats(model, variables, batches, stats_fn=stats_fn,
+                              train=False)
         qtable = build_qtable(variables["params"], stats, min_dim=min_dim)
         logger.info("quantized serving: %d conv(s) int8, calibrated on %d "
                     "image(s)", len(qtable), len(batches) * step)

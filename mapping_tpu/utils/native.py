@@ -98,7 +98,8 @@ class RleHandle:
         # instance (thousands per image on the scoring path), and a Python
         # generator over per-item ctypes getters costs more than the
         # suppression loop this fast path exists for
-        runs = np.frombuffer(out, dtype=np.int64, count=self.n)
+        runs = np.frombuffer(out, dtype=np.dtype(ctypes.c_long),
+                             count=self.n)
         self.area = int(runs[1::2].sum())
 
 

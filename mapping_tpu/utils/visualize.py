@@ -97,9 +97,9 @@ def visualize_predictions(prediction_path: str, data_dir: str, out_dir: str,
         # different split would be skipped below and silently shrink the
         # requested sample even when enough valid candidates exist
         predicted = {int(r["image_id"]) for r in results}
-        candidates = (sorted(predicted & set(gt.imgs))
-                      or sorted(gt.get_img_ids()))
-        dropped = len(predicted) - len(predicted & set(gt.imgs))
+        valid = predicted & set(gt.imgs)
+        candidates = sorted(valid) or sorted(gt.get_img_ids())
+        dropped = len(predicted) - len(valid)
         if dropped:
             logger.warning("%d predicted image id(s) absent from %s GT; "
                            "sampling the rest", dropped, dataset)
@@ -131,7 +131,9 @@ def visualize_predictions(prediction_path: str, data_dir: str, out_dir: str,
                 if float(a.get("score", 1.0)) > 0.0
                 and float(a.get("score", 1.0)) >= score_threshold]
         kept.sort(key=lambda a: -float(a.get("score", 1.0)))  # stable
-        if max_dets and len(kept) > max_dets:
+        # strictly-positive gate: 0 means unlimited, and a negative value
+        # must not silently slice detections off the tail
+        if max_dets > 0 and len(kept) > max_dets:
             logger.info(
                 "image %d: drawing top %d of %d detections by score (the "
                 "eval maxDets protocol); raise --score_threshold to cut "

@@ -429,3 +429,28 @@ def test_replicate_single_device_is_a_noop(workspace, tmp_path):
     got = art_one(tiles)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_re_replicate_to_one_device_clears_replica_table(workspace,
+                                                         tmp_path):
+    """Re-replicating DOWN to a single device must drop the old N-way
+    table: replay after the downgrade runs the plain path, not a stale
+    round-robin over devices the caller asked to avoid."""
+    import jax
+
+    from mapping_tpu.infer.artifact import (export_serving_artifact,
+                                            load_artifact)
+
+    manager, pipeline = _pipeline(workspace["config"])
+    out = str(tmp_path / "artifact")
+    export_serving_artifact(pipeline, manager.config, out)
+
+    art = load_artifact(out).replicate()
+    assert len(art._replica_devices) > 1
+    art.replicate(devices=[jax.devices()[0]])
+    assert art._replica_devices is None and not art._replica_leaves
+    tiles = _tiles(3, art.image_hw, seed=5)
+    want = load_artifact(out)(tiles)
+    got = art(tiles)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
