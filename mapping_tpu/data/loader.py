@@ -235,8 +235,8 @@ class SegmentationLoader:
 
     def _assemble(self, image_paths, target_paths, idxs):
         images = self._decode_many(load_image, np.asarray(image_paths)[idxs])
-        shapes = {im.shape for im in images}
-        if len(shapes) > 1:
+        hetero = len({im.shape for im in images}) > 1
+        if hetero:
             # heterogeneous sizes: host-resize to the device target size
             from PIL import Image
 
@@ -249,6 +249,23 @@ class SegmentationLoader:
         if target_paths is None:
             return image_b, None
         targets = self._decode_many(load_target, np.asarray(target_paths)[idxs])
+        if hetero:
+            # targets must follow their images: stacking unresized targets
+            # either crashes np.stack or silently misaligns supervision.
+            # Same channel semantics as the device-side _resize_target:
+            # NEAREST for the categorical mask/sizes channels, BILINEAR for
+            # the continuous distance channel.
+            from PIL import Image
+
+            size = self.size[::-1]
+            modes = (Image.NEAREST, Image.BILINEAR, Image.NEAREST)
+            targets = [
+                np.dstack([
+                    np.asarray(Image.fromarray(t[..., c]).resize(
+                        size, modes[min(c, 2)]))
+                    for c in range(t.shape[-1])
+                ]) for t in targets
+            ]
         return image_b, np.stack(targets).astype(np.float32)
 
     def _next_rng(self):

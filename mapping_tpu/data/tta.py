@@ -78,11 +78,18 @@ def expand_batch(images, specs: Sequence[TTASpec], rng=None):
     """(B, H, W, C) -> (B, V, H, W, C) forward TTA variants.
 
     Square images only for rotations (H == W), as in the 300x300 tiles.
+
+    Color runs draw a DISTINCT key per image (split over the batch) on top
+    of the per-run fold-in — the reference's color_seq sampled fresh
+    parameters per crop (src/loaders.py:456-470), so one shared key would
+    collapse the ensemble diversity color TTA exists for. The default rng
+    keeps inference deterministic per batch position; pass rng to vary.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, images.shape[0])
     variants = [
-        jax.vmap(lambda im, s=spec: _forward_one(im, s, rng))(images)
+        jax.vmap(lambda im, k, s=spec: _forward_one(im, s, k))(images, keys)
         for spec in specs
     ]
     return jnp.stack(variants, axis=1)

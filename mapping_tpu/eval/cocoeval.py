@@ -15,7 +15,6 @@ Mask IoU uses mapping_tpu.ops.rle (C++ fast path when built) — the hot loop
 pycocotools pushed into C (_mask.so) lives in cpp/rle.cpp here.
 """
 
-import copy
 from typing import List
 
 import numpy as np
@@ -142,7 +141,11 @@ class COCOEvaluator:
         self._per_img = {}
         for cat_id in cat_ids:
             for img_id in p.img_ids:
-                gts = [copy.deepcopy(a) for a in
+                # shallow copies: _evaluate_img only writes the top-level
+                # _ignore key; deep-copying every segmentation payload per
+                # (category, image) dominated per-epoch validation on
+                # large annotations
+                gts = [{**a} for a in
                        self.coco_gt.img_to_anns.get(img_id, [])
                        if not p.use_cats or a["category_id"] == cat_id]
                 dts = [a for a in self.coco_dt.img_to_anns.get(img_id, [])

@@ -242,6 +242,20 @@ def make_quantized_apply(model, **apply_kwargs):
 # serving-level composition
 # ---------------------------------------------------------------------------
 
+def _calib_bounds(n, calib_batch_size):
+    """Calibration chunk starts: equal-size chunks only (a ragged tail
+    would compile the float forward a second time just for calibration);
+    the tail chunk OVERLAPS the previous one instead — max-stats are
+    idempotent, every image is seen, and the caller's calib_batch_size
+    memory bound is honored even when n < 2*step (e.g. n=30, step=16 ->
+    chunks [0:16] and [14:30], never a single 30-image forward)."""
+    step = min(int(calib_batch_size or n) or n, n)
+    bounds = list(range(0, n - step + 1, step))
+    if bounds[-1] + step < n:
+        bounds.append(n - step)
+    return step, bounds
+
+
 def quantized_probs_fn(model, get_params, calib_images,
                        has_batch_stats: bool = False,
                        calib_batch_size: Optional[int] = None,
@@ -273,14 +287,7 @@ def quantized_probs_fn(model, get_params, calib_images,
         return {"params": p}
 
     n = calib_images.shape[0]
-    step = min(int(calib_batch_size or n) or n, n)
-    if n >= 2 * step:
-        # equal-size chunks only: a ragged tail would compile the whole
-        # float forward a second time just for calibration
-        bounds = range(0, (n // step) * step, step)
-    else:
-        bounds = [0]
-        step = n
+    step, bounds = _calib_bounds(n, calib_batch_size)
     batches = [calib_images[i:i + step] for i in bounds]
 
     # one jitted calibration forward shared across version-drift rebuilds
@@ -298,7 +305,7 @@ def quantized_probs_fn(model, get_params, calib_images,
                               train=False)
         qtable = build_qtable(variables["params"], stats, min_dim=min_dim)
         logger.info("quantized serving: %d conv(s) int8, calibrated on %d "
-                    "image(s)", len(qtable), len(batches) * step)
+                    "image(s)", len(qtable), n)
         return {"variables": variables, "qtable": qtable}
 
     cache = {"key": version_fn() if version_fn else None, "packed": build()}

@@ -147,7 +147,6 @@ def to_bbox(rle):
     xs1, ys1 = fg_ends // h, fg_ends % h
     # a run can span multiple columns; then it covers full rows
     spans_col = xs1 > xs0
-    y_min = int(min(ys0.min(), 0 if spans_col.any() else ys0.min()))
     if spans_col.any():
         y_min, y_max = 0, h - 1
     else:

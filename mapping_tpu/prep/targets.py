@@ -49,12 +49,20 @@ def _interior_empty(stack):
 
 
 @partial(jax.jit, static_argnames=("erode_size", "dilate_size",
-                                   "small_annotations_size", "border_width"))
+                                   "small_annotations_size", "border_width",
+                                   "raw_top2"))
 def _prepare_device(stack, valid, erode_size, dilate_size,
-                    small_annotations_size, border_width):
+                    small_annotations_size, border_width, raw_top2=False):
     """stack: (N, H, W) bool object masks; valid: (N,) bool.
 
     Returns (mask uint8, distances f32, second_nearest f32, sizes i32).
+
+    raw_top2=True (the >MAX_OBJECTS chunked path): return the UNCLAMPED
+    per-chunk (nearest, second) maps with big-value sentinels plus the
+    chunk's valid-object count, and a plain BINARY mask (no border
+    overlay) — the host merges chunks, and per-chunk clamps/borders would
+    poison that merge (a 1-valid chunk's second := nearest would steal the
+    global second slot; per-chunk borders use the wrong second map).
     """
     valid = valid & ~_interior_empty(stack) & jnp.any(stack, axis=(1, 2))
     areas = jnp.sum(stack, axis=(1, 2))
@@ -90,13 +98,18 @@ def _prepare_device(stack, valid, erode_size, dilate_size,
     init = (jnp.full((h, w), big_val), jnp.full((h, w), big_val))
     (nearest, second), _ = jax.lax.scan(merge, init, (processed, valid))
     n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    mask = jnp.any(processed, axis=0)
+
+    if raw_top2:
+        return (mask.astype(jnp.uint8), nearest, second, n_valid)
+
     # reference semantics: 0 objects -> all-zero distances (duplicated);
     # 1 object -> second copies the single map (clean_distances :159-167).
     nearest = jnp.where(n_valid >= 1, nearest, 0.0)
     second = jnp.where(n_valid >= 2, second, nearest)
     dist_sum = nearest + second
 
-    mask = jnp.any(processed, axis=0)
     labels = connected_components(mask)
     sizes = size_matrix(labels, MAX_OBJECTS)
 
@@ -219,6 +232,7 @@ def prepare_image_targets(
     n = len(annotation_masks)
     outs = {"mask": np.zeros((h, w), np.uint8),
             "distances": np.zeros((h, w), np.float16),
+            "second": np.zeros((h, w), np.float32),
             "sizes": np.ones((h, w), np.int32)}
     if n == 0:
         return outs
@@ -236,35 +250,55 @@ def prepare_image_targets(
         valid[: len(chunk)] = True
         chunks.append((stack, valid))
     if len(chunks) > 1:
-        # very crowded image: merge chunk results on host (rare path)
+        # Very crowded image (>MAX_OBJECTS annotations, rare path): each
+        # chunk returns its RAW (nearest, second) maps with big-value
+        # sentinels, and the host takes the global top-2 over the multiset
+        # of per-chunk top-2s. The per-chunk n_valid clamps and border
+        # overlay must NOT run on device here: a chunk whose objects were
+        # all filtered returns zeros that would poison the sort, a 1-valid
+        # chunk's second := nearest would steal the global second slot,
+        # and per-chunk borders would key on the wrong second map.
         results = [
             _prepare_device(jnp.asarray(s), jnp.asarray(v), erode, dilate,
-                            small_annotations_size, border_width)
+                            small_annotations_size, 0, raw_top2=True)
             for s, v in chunks
         ]
-        masks = np.maximum.reduce([np.asarray(r[0]) for r in results])
-        dists = np.stack(
-            [np.asarray(r[1]) for r in results] + [np.asarray(r[2]) for r in results]
-        )
-        # recompute top-2 across chunk partials
-        dists.sort(axis=0)
-        dist_sum = dists[0] + dists[1]
+        mask = np.maximum.reduce(
+            [np.asarray(r[0]) for r in results]).astype(bool)
+        cand = np.stack([np.asarray(r[1]) for r in results]
+                        + [np.asarray(r[2]) for r in results])
+        cand.sort(axis=0)
+        nearest, second = cand[0], cand[1]
+        n_valid = int(sum(int(r[3]) for r in results))
+        # the same clamps _prepare_device applies to a single chunk,
+        # now with the GLOBAL valid count (clean_distances :159-167)
+        if n_valid < 1:
+            nearest = np.zeros_like(nearest)
+        if n_valid < 2:
+            second = nearest.copy()
+        dist_sum = nearest + second
         from mapping_tpu.ops.ccl import connected_components as cc
-        labels = np.asarray(cc(jnp.asarray(masks > 0)))
-        sizes = np.ones_like(masks, np.int32)
-        for lbl in range(1, labels.max() + 1):
-            sel = labels == lbl
-            sizes[sel] = sel.sum()
-        outs.update(mask=masks.astype(np.uint8),
+        labels = np.asarray(cc(jnp.asarray(mask)))
+        counts = np.bincount(labels.ravel())
+        counts[0] = 1  # background stays size 1, as size_matrix does
+        sizes = counts[labels].astype(np.int32)
+        mask_out = mask.astype(np.uint8)
+        if border_width > 0:
+            borders = (second < border_width) & ~mask
+            mask_out = np.where(borders, mask_out.max() + 1,
+                                mask_out).astype(np.uint8)
+        outs.update(mask=mask_out,
                     distances=dist_sum.astype(np.float16),
+                    second=second.astype(np.float32),
                     sizes=sizes)
         return outs
     stack, valid = chunks[0]
-    mask, dist_sum, _, sizes = _prepare_device(
+    mask, dist_sum, second, sizes = _prepare_device(
         jnp.asarray(stack), jnp.asarray(valid), erode, dilate,
         small_annotations_size, border_width)
     outs.update(mask=np.asarray(mask, np.uint8),
                 distances=np.asarray(dist_sum, np.float16),
+                second=np.asarray(second, np.float32),
                 sizes=np.asarray(sizes, np.int32))
     return outs
 
@@ -317,25 +351,41 @@ def overlay_masks(
                     os.path.join(target_dir, dataset, "sizes", stem))
 
     if len(real_cats) != 1:
-        # multi-category fallback: per-image path (not the CrowdAI layout)
+        # Multi-category fallback: per-image path (not the CrowdAI layout).
+        # Reference semantics (src/preparation.py:44-87): the category loop
+        # overlays mask values (later categories win at overlaps) while the
+        # distance accumulation is GLOBAL — clean_distances takes the top-2
+        # over every object of every category — and the border overlay runs
+        # once, after the loop, on the final labeled mask.
         for image_id in coco.get_img_ids():
             image = coco.load_imgs([image_id])[0]
             image_size = (image["height"], image["width"])
             mask_total = np.zeros(image_size, np.uint8)
-            dist_total = np.zeros(image_size, np.float16)
-            sizes_total = np.ones(image_size, np.int32)
+            per_cat_masks = []
             for category_nr, category_id in real_cats:
                 ann_ids = coco.get_ann_ids(img_ids=[image_id],
                                            cat_ids=[category_id])
                 masks = [coco.ann_to_mask(a) for a in coco.load_anns(ann_ids)]
-                targets = prepare_image_targets(
-                    masks, image_size, erode=erode, dilate=dilate,
-                    small_annotations_size=small_annotations_size,
-                    border_width=border_width, category_nr=category_nr)
-                sel = targets["mask"] > 0
-                mask_total = np.where(sel, np.uint8(category_nr), mask_total)
-                dist_total = targets["distances"]
-                sizes_total = targets["sizes"]
+                per_cat_masks.append((category_nr, masks))
+                if masks:
+                    cat = prepare_image_targets(
+                        masks, image_size, erode=erode, dilate=dilate,
+                        small_annotations_size=small_annotations_size,
+                        border_width=0, category_nr=category_nr)
+                    mask_total = np.where(cat["mask"] > 0,
+                                          np.uint8(category_nr), mask_total)
+            union = [m for _, ms in per_cat_masks for m in ms]
+            targets = prepare_image_targets(
+                union, image_size, erode=erode, dilate=dilate,
+                small_annotations_size=small_annotations_size,
+                border_width=0)
+            dist_total = targets["distances"]
+            sizes_total = targets["sizes"]
+            if border_width > 0:
+                borders = ((targets["second"] < border_width)
+                           & (mask_total == 0))
+                mask_total = np.where(borders, mask_total.max() + 1,
+                                      mask_total).astype(np.uint8)
             stem = os.path.splitext(image["file_name"])[0]
             write_artifacts(stem, mask_total, dist_total, sizes_total)
         return
@@ -384,8 +434,16 @@ def overlay_masks(
             jnp.asarray(pack_object_stack(stacks)), jnp.asarray(valid), pad,
             erode, dilate, small_annotations_size, border_width)
         # D2H pull stays on this thread (pulling from workers contends on
-        # the device tunnel); only the file writes go async
-        mask_b = np.where(np.asarray(mask_b) > 0, np.uint8(category_nr), 0)
+        # the device tunnel); only the file writes go async.
+        # Device classes are {0, 1=building, 2=border}; shift (not collapse)
+        # nonzero values so the border class survives as category_nr+1 —
+        # the reference writes borders_class_id = mask.max()+1
+        # (src/preparation.py:83-86), and flattening border pixels into the
+        # building class would label the separating band BETWEEN touching
+        # buildings as building, the opposite of its purpose.
+        vals = np.asarray(mask_b)
+        mask_b = np.where(vals > 0, vals + (category_nr - 1),
+                          0).astype(np.uint8)
         dist_b = np.asarray(dist_b)
         sizes_b = np.asarray(sizes_b)
         for i, (image, _, _) in enumerate(items):
@@ -429,9 +487,11 @@ def overlay_masks(
                 masks, size, erode=erode, dilate=dilate,
                 small_annotations_size=small_annotations_size,
                 border_width=border_width, category_nr=category_nr)
+            vals = targets["mask"]
             writes.append(pool.apply_async(
                 write_artifacts,
-                (stem, np.where(targets["mask"] > 0, np.uint8(category_nr), 0),
+                (stem, np.where(vals > 0, vals + (category_nr - 1),
+                                0).astype(np.uint8),
                  targets["distances"], targets["sizes"])))
             continue
         pad = next(b for b in (8, 16, 32, 64, MAX_OBJECTS) if b >= n)

@@ -135,11 +135,11 @@ def _gt_iou_matrix(layer, annotations):
     n = int(layer.max())
     if n == 0:
         return None
-    gt_rles = []
-    for ann in annotations:
-        seg = ann["segmentation"]
-        gt_rles.append(seg if isinstance(seg, dict)
-                       else rle_ops.from_py_objects(seg, h, w)[0])
+    # annotation_to_rle MERGES multi-part polygon segmentations (a GT
+    # building split by occlusion is several polygons); taking only part
+    # [0] would deflate the IoU regression target for every multi-part
+    # annotation — the same helper cocoeval._segmentation_of uses
+    gt_rles = [rle_ops.annotation_to_rle(ann, h, w) for ann in annotations]
     dt_rles = _detection_rles(layer, n, h, w)
     return rle_ops.iou(dt_rles, gt_rles, [0] * len(gt_rles))
 

@@ -218,3 +218,63 @@ def test_inference_tail_batch_padded_to_full_shape(dataset, prepared):
     stream = trainer.transform(out["datagen"],
                                stream=True)["multichannel_map_prediction"]
     assert sum(1 for _ in stream) == 3
+
+
+def test_train_heterogeneous_sizes_resizes_targets_too(tmp_path):
+    """Mixed-size TRAIN batches: targets must be host-resized alongside
+    their images (mask/sizes nearest, distances bilinear — the same
+    channel semantics as the device _resize_target), not stacked raw."""
+    import joblib
+    from PIL import Image
+
+    from mapping_tpu.data.loader import SegmentationLoader
+
+    rng = np.random.RandomState(1)
+    img_paths, mask_paths = [], []
+    for i, (h, w) in enumerate([(100, 100), (80, 60)]):
+        ip = str(tmp_path / f"img_{i}.jpg")
+        Image.fromarray(rng.randint(0, 255, (h, w, 3),
+                                    dtype=np.uint8)).save(ip)
+        img_paths.append(ip)
+        for sub in ("masks", "distances", "sizes"):
+            os.makedirs(tmp_path / sub, exist_ok=True)
+        mp = str(tmp_path / "masks" / f"img_{i}.png")
+        mask = np.zeros((h, w), np.uint8)
+        mask[h // 4: h // 2, w // 4: w // 2] = 1
+        Image.fromarray(mask).save(mp)
+        joblib.dump(np.ones((h, w), np.float16) * 3,
+                    str(tmp_path / "distances" / f"img_{i}"))
+        joblib.dump(np.ones((h, w), np.int32) * 9,
+                    str(tmp_path / "sizes" / f"img_{i}"))
+        mask_paths.append(mp)
+
+    loader = SegmentationLoader(mode="resize", size=(64, 64),
+                                batch_size_train=2)
+    flow, steps = loader.transform(np.asarray(img_paths),
+                                   np.asarray(mask_paths),
+                                   train_mode=True)["datagen"]
+    batch = next(iter(flow))
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["target"].shape == (2, 64, 64, 3)
+    mask_ch = np.asarray(batch["target"][..., 0])
+    assert set(np.unique(mask_ch)) <= {0.0, 1.0}  # nearest keeps classes
+    assert mask_ch.sum() > 0
+
+
+def test_color_tta_uses_distinct_keys_per_image():
+    """Color runs draw a distinct key per image: two images in one batch
+    must get DIFFERENT color shifts at the same spec (the reference's
+    color_seq sampled fresh params per crop, src/loaders.py:456-470)."""
+    import jax.numpy as jnp
+
+    from mapping_tpu.data.tta import TTASpec, expand_batch
+
+    img = np.full((2, 16, 16, 3), 128, np.float32)  # identical content
+    specs = [TTASpec(ud_flip=False, lr_flip=False, rotation=0,
+                     color_shift=1)]
+    out = np.asarray(expand_batch(jnp.asarray(img), specs))
+    # same input content, same spec -> different outputs per batch index
+    assert np.abs(out[0, 0] - out[1, 0]).max() > 1e-3
+    # and deterministic across calls (serving reproducibility)
+    out2 = np.asarray(expand_batch(jnp.asarray(img), specs))
+    np.testing.assert_array_equal(out, out2)

@@ -167,7 +167,9 @@ def test_quantized_fns_snapshot_weights():
 
 def test_calibration_batches_equal_size():
     """Calibration must not compile a second forward for a ragged tail:
-    33 images at batch 8 -> 4 batches of 8 (25th..33rd dropped)."""
+    33 images at batch 8 -> 5 batches of 8, the last OVERLAPPING the
+    previous (starts at 25) so every image calibrates at one compiled
+    shape."""
     model = ConvZoo()
     x = np.random.RandomState(4).rand(33, 16, 16, 3).astype(np.float32)
     variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
@@ -185,7 +187,7 @@ def test_calibration_batches_equal_size():
                              x, has_batch_stats=False, calib_batch_size=8)
     finally:
         Q.collect_stats = orig
-    assert seen == [8, 8, 8, 8], seen
+    assert seen == [8, 8, 8, 8, 8], seen
 
 
 def test_version_fn_recalibrates_on_weight_change():
@@ -257,3 +259,20 @@ def test_recalibration_reuses_one_jitted_stats_fn(monkeypatch):
     holder["version"] = 2
     get_packed()
     assert calls["n"] == 1  # ...but never re-traces the calibration forward
+
+
+def test_calib_bounds_honor_batch_size():
+    """Every image is covered by equal-size chunks of at most
+    calib_batch_size (the tail chunk overlaps instead of growing or
+    being dropped — max-stats are idempotent)."""
+    from mapping_tpu.models.quantize import _calib_bounds
+
+    for n, bs in [(30, 16), (32, 16), (10, 16), (33, 16), (16, 16),
+                  (7, 0), (5, 2)]:
+        step, bounds = _calib_bounds(n, bs)
+        assert step <= (bs or n)
+        covered = set()
+        for b in bounds:
+            assert 0 <= b and b + step <= n  # never ragged, never OOB
+            covered.update(range(b, b + step))
+        assert covered == set(range(n))  # every image calibrates

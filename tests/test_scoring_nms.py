@@ -107,3 +107,21 @@ def test_scale_smoke_many_specks():
     # each speck appears identically in 3 layers: exactly one copy lives
     alive = sum(int(np.count_nonzero(s)) for s in scores)
     assert alive == n
+
+
+def test_gt_iou_matrix_merges_multipart_polygons():
+    """A GT building annotated as SEVERAL polygons must match a detection
+    covering the whole building at the full IoU (annotation_to_rle merges
+    parts; taking part [0] would halve the scoring model's IoU target)."""
+    from mapping_tpu.scoring import _gt_iou_matrix
+
+    h = w = 32
+    layer = np.zeros((h, w), np.int32)
+    layer[8:16, 4:28] = 1  # detection: the full building
+    # GT: same building split into two abutting polygon parts
+    left = [4.0, 8.0, 15.0, 8.0, 15.0, 15.0, 4.0, 15.0]
+    right = [16.0, 8.0, 27.0, 8.0, 27.0, 15.0, 16.0, 15.0]
+    ann = {"segmentation": [left, right]}
+    iou = _gt_iou_matrix(layer, [ann])
+    assert iou is not None and iou.shape == (1, 1)
+    assert iou[0, 0] > 0.85  # merged parts ~ full detection
