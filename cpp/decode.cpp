@@ -12,7 +12,7 @@
 // API contract (all return 0 on success, negative on failure; callers fall
 // back to PIL):
 //   decode_probe(path, &h, &w)            -- header-only size read
-//   decode_image(path, out, cap, channels) -- channels 3 = RGB HWC, 1 = gray
+//   decode_image(path, out, cap, channels, &h, &w) -- 3 = RGB HWC, 1 = gray
 //   decode_probe_mem / decode_image_mem    -- same, from an in-memory buffer
 //     (the serving daemon's request bodies arrive as bytes, never files)
 
@@ -155,8 +155,12 @@ int decode_probe(const char* path, int* h, int* w) {
 }
 
 // Full decode into caller buffer (row-major HWC, `channels` = 3 or 1).
+// oh/ow (optional) report the dimensions ACTUALLY decoded: the caller
+// sizes its buffer from a separate decode_probe, and a file replaced
+// between probe and decode would otherwise fill that buffer with a
+// different geometry silently (partial rows + uninitialized tail).
 int decode_image(const char* path, unsigned char* out, long cap,
-                 int channels) {
+                 int channels, int* oh, int* ow) {
   if (channels != 1 && channels != 3) return -4;
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
@@ -171,11 +175,16 @@ int decode_image(const char* path, unsigned char* out, long cap,
     memset(&image, 0, sizeof(image));
     image.version = PNG_IMAGE_VERSION;
     if (!png_image_begin_read_from_file(&image, path)) return -2;
-    return png_decode_begun(image, out, cap, channels, &h, &w);
+    rc = png_decode_begun(image, out, cap, channels, &h, &w);
+    if (oh) *oh = h;
+    if (ow) *ow = w;
+    return rc;
   } else {
     rc = -1;
   }
   fclose(f);
+  if (oh) *oh = h;
+  if (ow) *ow = w;
   return rc;
 }
 

@@ -74,12 +74,19 @@ BinMapper make_bins(const double* X, long n, int d, int max_bin) {
   m.uppers.resize(d);
   std::vector<double> col(n);
   for (int f = 0; f < d; ++f) {
-    for (long i = 0; i < n; ++i) col[i] = X[i * d + f];
-    std::sort(col.begin(), col.end());
+    // drop NaNs before sorting: NaN comparisons violate strict weak
+    // ordering (std::sort UB), and bin() already routes NaN to bin 0 at
+    // lookup time — NaN must never become a bin boundary
+    long cn = 0;
+    for (long i = 0; i < n; ++i) {
+      double v = X[i * d + f];
+      if (!std::isnan(v)) col[cn++] = v;
+    }
+    std::sort(col.begin(), col.begin() + cn);
     // distinct values
     std::vector<double> vals;
     std::vector<long> cnts;
-    for (long i = 0; i < n; ++i) {
+    for (long i = 0; i < cn; ++i) {
       if (vals.empty() || col[i] != vals.back()) {
         vals.push_back(col[i]);
         cnts.push_back(1);
@@ -92,7 +99,7 @@ BinMapper make_bins(const double* X, long n, int d, int max_bin) {
       u = vals;
     } else {
       // greedy equal-count: close a bin once it holds >= n/max_bin samples
-      double per = (double)n / max_bin;
+      double per = (double)cn / max_bin;
       double acc = 0.0;
       for (size_t k = 0; k < vals.size(); ++k) {
         acc += cnts[k];
@@ -382,6 +389,8 @@ int gbm_best_iteration(void* model) {
 
 int gbm_num_trees(void* model) { return (int)((Model*)model)->trees.size(); }
 
+int gbm_num_features(void* model) { return ((Model*)model)->num_features; }
+
 void gbm_predict(void* model, const double* X, long n, int d,
                  int num_iteration, double* out) {
   Model* m = (Model*)model;
@@ -456,6 +465,18 @@ void* gbm_deserialize(const char* buf, long len) {
       get_i(nd.right);
       get_d(nd.threshold);
       get_d(nd.value);
+      // content validation: a blob that passes the size checks can still
+      // carry garbage indices. grow_tree always appends children AFTER
+      // their parent, so left/right > k also guarantees predict_row
+      // terminates (strictly increasing walk); feature must address a
+      // training column.
+      if (nd.feature >= 0) {
+        if (nd.feature >= nf || nd.left <= k || nd.right <= k ||
+            nd.left >= nn || nd.right >= nn) {
+          delete m;
+          return nullptr;
+        }
+      }
     }
     m->trees.push_back(std::move(tree));
   }

@@ -163,7 +163,18 @@ def load_params(config_path: Optional[str] = None) -> AttrDict:
     if config_path:
         with open(config_path) as f:
             loaded = yaml.safe_load(f) or {}
-        params.update(loaded.get("parameters", loaded))
+        if not isinstance(loaded, dict):
+            raise ValueError(
+                f"invalid config file {config_path}: expected a yaml "
+                f"mapping (neptune.yaml layout), got {type(loaded).__name__}")
+        section = loaded.get("parameters", loaded)
+        if section is None:
+            section = {}  # a bare `parameters:` key with no value
+        if not isinstance(section, dict):
+            raise ValueError(
+                f"invalid config file {config_path}: `parameters` must be "
+                f"a mapping, got {type(section).__name__}")
+        params.update(section)
     return AttrDict(params)
 
 

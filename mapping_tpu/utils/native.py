@@ -65,14 +65,24 @@ def rle_instances(labels, n_instances):
     labels = np.ascontiguousarray(labels, dtype=np.int32)
     h, w = labels.shape
     cap = max(1 << 16, 24 * (h * w // 2 + n_instances * 8))
-    buf = ctypes.create_string_buffer(cap)
-    offsets = (ctypes.c_long * (n_instances + 1))()
-    bbox = (ctypes.c_double * (n_instances * 4))()
-    used = lib.rle_instances(
-        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        h, w, n_instances, buf, cap, offsets, bbox)
-    if used < 0:
-        raise MemoryError("rle_instances output buffer too small")
+    # the C side pre-checks capacity CONSERVATIVELY (13 bytes/count upper
+    # bound, far above the delta-coded typical 1-2): a pathologically
+    # fragmented map can be rejected at a cap its actual encoding would
+    # fit, so grow and retry up to the true worst case (sum of run counts
+    # is <= 2*h*w + 2*n, 13 bytes each) instead of failing the pass
+    hard = 13 * (2 * h * w + 2 * n_instances) + 16 * (n_instances + 1)
+    while True:
+        buf = ctypes.create_string_buffer(cap)
+        offsets = (ctypes.c_long * (n_instances + 1))()
+        bbox = (ctypes.c_double * (n_instances * 4))()
+        used = lib.rle_instances(
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            h, w, n_instances, buf, cap, offsets, bbox)
+        if used >= 0:
+            break
+        if cap >= hard:
+            raise MemoryError("rle_instances output buffer too small")
+        cap = min(cap * 4, hard)
     out = []
     for i in range(n_instances):
         counts = buf.raw[offsets[i]:offsets[i + 1]]

@@ -23,7 +23,8 @@ def _register(lib):
         ctypes.POINTER(ctypes.c_int)]
     lib.decode_image.restype = ctypes.c_int
     lib.decode_image.argtypes = [
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int]
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     lib.decode_probe_mem.restype = ctypes.c_int
     lib.decode_probe_mem.argtypes = [
         ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_int),
@@ -64,9 +65,18 @@ def _decode(path, channels):
         return None
     shape = (h.value, w.value, 3) if channels == 3 else (h.value, w.value)
     out = np.empty(shape, np.uint8)
+    dh = ctypes.c_int()
+    dw = ctypes.c_int()
     rc = lib.decode_image(path_b, out.ctypes.data_as(ctypes.c_char_p),
-                          out.nbytes, channels)
+                          out.nbytes, channels, ctypes.byref(dh),
+                          ctypes.byref(dw))
     if rc != 0:
+        return None
+    if (dh.value, dw.value) != (h.value, w.value):
+        # file replaced between probe and decode (loader threads race
+        # against dataset re-syncs): the buffer was sized for the OLD
+        # geometry — a partial fill would silently feed the model shifted
+        # rows + uninitialized memory; decline and let PIL re-read
         return None
     return out
 

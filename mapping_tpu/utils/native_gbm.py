@@ -30,6 +30,8 @@ def _register(lib):
     lib.gbm_best_iteration.argtypes = [ctypes.c_void_p]
     lib.gbm_num_trees.restype = ctypes.c_int
     lib.gbm_num_trees.argtypes = [ctypes.c_void_p]
+    lib.gbm_num_features.restype = ctypes.c_int
+    lib.gbm_num_features.argtypes = [ctypes.c_void_p]
     lib.gbm_predict.restype = None
     lib.gbm_predict.argtypes = [ctypes.c_void_p, D, ctypes.c_long,
                                 ctypes.c_int, ctypes.c_int, D]
@@ -117,10 +119,25 @@ class NativeGBMRegressor:
         self._n_features = d
         return self
 
+    def _require_handle(self):
+        # a NULL handle dereferenced on the C side is a hard segfault, not
+        # a Python exception — fail here like sklearn's NotFittedError
+        if not self._handle:
+            raise RuntimeError(
+                "NativeGBMRegressor is not fitted (call fit() or "
+                "from_bytes() first)")
+
     def predict(self, X, num_iteration=None):
         lib = _load()
+        self._require_handle()
         X, xp = _as_c(np.atleast_2d(X))
         n, d = X.shape
+        # the C side indexes rows by the MODEL's feature count; a column
+        # mismatch would read out of bounds (lightgbm raises here too)
+        want = lib.gbm_num_features(self._handle)
+        if d != want:
+            raise ValueError(
+                f"X has {d} feature(s); the model was trained on {want}")
         out = np.empty(n, dtype=np.float64)
         it = self.best_iteration_ if num_iteration is None else num_iteration
         lib.gbm_predict(self._handle, xp, n, d, int(it),
@@ -130,6 +147,7 @@ class NativeGBMRegressor:
     # -- persistence (bytes round-trip; joblib/pickle-friendly) ------------
     def to_bytes(self) -> bytes:
         lib = _load()
+        self._require_handle()
         need = lib.gbm_serialize(self._handle, None, 0)
         buf = ctypes.create_string_buffer(need)
         lib.gbm_serialize(self._handle, buf, need)
