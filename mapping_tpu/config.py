@@ -203,6 +203,7 @@ def build_config(config_path: Optional[str] = None,
             "mode": params.loader_mode,
             "size": (params.image_h, params.image_w),
             "pad": (params.h_pad, params.w_pad),
+            "pad_method": params.pad_method,
             "batch_size_train": params.batch_size_train,
             "batch_size_inference": params.batch_size_inference,
             "seed": SEED,

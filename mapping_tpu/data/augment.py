@@ -166,6 +166,29 @@ def pad_replicate(x, pad: Tuple[int, int]):
     return jnp.pad(x, ((0, 0), (hp, hp), (wp, wp), (0, 0)), mode="edge")
 
 
+def pad_reflect(x, pad: Tuple[int, int]):
+    """Reflect pad of (B, H, W, C) by (h_pad, w_pad) per side WITHOUT
+    repeating the border pixel — cv2.BORDER_REFLECT_101 semantics, the
+    reference PadFixed's 'reflect' mode (src/augmentation.py:46-54).
+    jnp.pad's 'reflect' is exactly this convention (gfedcb|abcdefgh|gfedcb)."""
+    hp, wp = pad
+    return jnp.pad(x, ((0, 0), (hp, hp), (wp, wp), (0, 0)), mode="reflect")
+
+
+#: the reference's PadFixed.PAD_FUNCTION dispatch (src/augmentation.py:46-49)
+PAD_FUNCTION = {"replicate": pad_replicate, "reflect": pad_reflect}
+
+
+def pad_fixed(x, pad: Tuple[int, int], method: str = "replicate"):
+    """PadFixed equivalent: pad by the configured method name."""
+    try:
+        return PAD_FUNCTION[method](x, pad)
+    except KeyError:
+        raise ValueError(
+            f"unknown pad_method {method!r}; expected one of "
+            f"{sorted(PAD_FUNCTION)}") from None
+
+
 def center_crop(x, size: Tuple[int, int]):
     """(B, H, W, C) -> centered (B, h, w, C) (undo of padded inference,
     reference crop_image_center_per_class src/postprocessing.py:239-258)."""

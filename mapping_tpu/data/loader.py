@@ -132,9 +132,9 @@ def _train_batch_crop(rng, image_u8, target, size, augment=True):
     return {"image": (img - A._MEAN) / A._STD, "target": target}
 
 
-@partial(jax.jit, static_argnames=("pad",))
-def _infer_batch_pad(image_u8, pad):
-    img = A.pad_replicate(image_u8.astype(jnp.float32) / 255.0, pad)
+@partial(jax.jit, static_argnames=("pad", "method"))
+def _infer_batch_pad(image_u8, pad, method="replicate"):
+    img = A.pad_fixed(image_u8.astype(jnp.float32) / 255.0, pad, method)
     return {"image": (img - A._MEAN) / A._STD}
 
 
@@ -190,6 +190,7 @@ class SegmentationLoader:
         mode: str = "resize",
         size: Tuple[int, int] = (256, 256),
         pad: Tuple[int, int] = (10, 10),
+        pad_method: str = "replicate",
         batch_size_train: int = 20,
         batch_size_inference: int = 20,
         seed: int = 1234,
@@ -198,9 +199,15 @@ class SegmentationLoader:
     ):
         if mode not in ("resize", "crop_and_pad"):
             raise ValueError(f"unknown loader mode {mode!r}")
+        if pad_method not in A.PAD_FUNCTION:
+            raise ValueError(f"unknown pad_method {pad_method!r}; expected "
+                             f"one of {sorted(A.PAD_FUNCTION)}")
         self.mode = mode
         self.size = tuple(size)
         self.pad = tuple(pad)
+        # 'replicate' | 'reflect' — the reference PadFixed.PAD_FUNCTION knob
+        # (src/augmentation.py:46-49, neptune.yaml:79)
+        self.pad_method = pad_method
         self.batch_size_train = batch_size_train
         self.batch_size_inference = batch_size_inference
         self.augment = augment
@@ -336,7 +343,8 @@ class SegmentationLoader:
         image_u8_batch = jnp.asarray(image_u8_batch)
         if self.mode == "resize":
             return _infer_batch_resize(image_u8_batch, self.size)["image"]
-        return _infer_batch_pad(image_u8_batch, self.pad)["image"]
+        return _infer_batch_pad(image_u8_batch, self.pad,
+                                self.pad_method)["image"]
 
     def _eval_gen(self, X, y):
         n = len(X)
@@ -369,10 +377,12 @@ class SegmentationLoader:
                             jnp.asarray(image_b), jnp.asarray(target_b),
                             loader.size)
                     else:
-                        out = _infer_batch_pad(jnp.asarray(image_b), loader.pad)
+                        out = _infer_batch_pad(jnp.asarray(image_b),
+                                               loader.pad, loader.pad_method)
                         out = dict(out)
-                        out["target"] = jnp.asarray(A.pad_replicate(
-                            jnp.asarray(target_b), loader.pad))
+                        out["target"] = jnp.asarray(A.pad_fixed(
+                            jnp.asarray(target_b), loader.pad,
+                            loader.pad_method))
                         yield out
 
             def __len__(self):
