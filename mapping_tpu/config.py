@@ -12,7 +12,8 @@ from typing import Any, Dict, Optional
 
 import yaml
 
-from mapping_tpu.constants import SEED, X_COLUMNS, Y_COLUMNS
+from mapping_tpu.constants import (CATEGORY_LAYERS, SEED, X_COLUMNS,
+                                   Y_COLUMNS)
 
 
 class AttrDict(dict):
@@ -246,6 +247,12 @@ def build_config(config_path: Optional[str] = None,
                 "patience": params.patience,
                 "data_dir": params.data_dir,
                 "small_annotations_size": params.small_annotations_size,
+                # per-epoch COCO-AP validation geometry: must match what a
+                # post-hoc `evaluate` would use (the reference monitor read
+                # everything from config, src/callbacks.py:108-151)
+                "target_size": (params.crop_image_h, params.crop_image_w),
+                "category_layers": tuple(params.get("category_layers",
+                                                    CATEGORY_LAYERS)),
                 "resume": bool(params.resume_training),
                 "resume_every": int(params.resume_every),
                 "best_write_every": int(params.best_write_every),

@@ -208,11 +208,19 @@ class ValidationMonitorSegmentation(ValidationMonitor):
     """
 
     def __init__(self, data_dir=None, validate_with_map=True,
-                 small_annotations_size=14, epoch_every=1, **_):
+                 small_annotations_size=14, epoch_every=1,
+                 target_size=(300, 300), category_layers=(1, 1), **_):
         super().__init__(epoch_every=epoch_every)
         self.data_dir = data_dir
         self.validate_with_map = validate_with_map
         self.small_annotations_size = small_annotations_size
+        # geometry comes from the run's config (crop_image_h/w and the
+        # category_layers override), NOT literals: a dataset evaluated at a
+        # different resolution would otherwise checkpoint/early-stop on an
+        # AP computed at the wrong size (the reference monitor read its
+        # pipeline config the same way, src/callbacks.py:108-151)
+        self.target_size = tuple(target_size)
+        self.category_layers = tuple(category_layers)
         self._serve = None
 
     def _serve_program(self):
@@ -226,9 +234,10 @@ class ValidationMonitorSegmentation(ValidationMonitor):
 
             probs_fn, get_params = self.trainer.probs_apply_fn()
             self._serve = FusedServe(
-                probs_fn, get_params, target_size=(300, 300),
-                category_layers=(1, 1),
-                active_layers=active_layers_for(CATEGORY_IDS, (1, 1)),
+                probs_fn, get_params, target_size=self.target_size,
+                category_layers=self.category_layers,
+                active_layers=active_layers_for(CATEGORY_IDS,
+                                                self.category_layers),
                 mesh=self.trainer.mesh)
         return self._serve
 
@@ -260,7 +269,8 @@ class ValidationMonitorSegmentation(ValidationMonitor):
             batch_ids = image_ids[idx: idx + labels.shape[0]]
             idx += labels.shape[0]
             annotations.extend(create_annotations(
-                batch_ids, labels, scores, CATEGORY_IDS, (1, 1)))
+                batch_ids, labels, scores, CATEGORY_IDS,
+                self.category_layers))
             if batch_id + 1 >= steps:
                 break
         with tempfile.NamedTemporaryFile("w", suffix=".json",

@@ -52,7 +52,7 @@ def _make_image(rng, h=300, w=300, max_buildings=6):
     return img, anns
 
 
-def generate_split(out_dir, split, n_images, seed):
+def generate_split(out_dir, split, n_images, seed, tile=(300, 300)):
     from PIL import Image
 
     rng = np.random.RandomState(seed)
@@ -67,7 +67,7 @@ def generate_split(out_dir, split, n_images, seed):
     }
     ann_id = 1
     for i in range(n_images):
-        img, anns = _make_image(rng)
+        img, anns = _make_image(rng, h=tile[0], w=tile[1])
         file_name = f"{split}_{i:05d}.jpg"
         Image.fromarray(img).save(os.path.join(images_dir, file_name),
                                   quality=95)
@@ -92,10 +92,10 @@ def generate_split(out_dir, split, n_images, seed):
     return ann_path
 
 
-def generate(out_dir, n_train=12, n_val=6, seed=7):
+def generate(out_dir, n_train=12, n_val=6, seed=7, tile=(300, 300)):
     os.makedirs(out_dir, exist_ok=True)
-    generate_split(out_dir, "train", n_train, seed)
-    generate_split(out_dir, "val", n_val, seed + 1)
+    generate_split(out_dir, "train", n_train, seed, tile=tile)
+    generate_split(out_dir, "val", n_val, seed + 1, tile=tile)
     return out_dir
 
 

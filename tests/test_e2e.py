@@ -170,6 +170,61 @@ def test_transform_stream_is_lazy(workspace):
     assert calls["n"] == 1  # exactly one batch served
 
 
+def test_validation_monitor_geometry_follows_config(tmp_path):
+    """VERDICT r4 next #5: per-epoch COCO-AP validation must run at the
+    CONFIG's geometry (crop_image_h/w), not hardcoded (300, 300) — on a
+    256x256-tile dataset the best per-epoch AP recorded by the monitor must
+    equal a post-hoc `evaluate` of the best checkpoint (same val sample,
+    same serve geometry). Before the fix the monitor scored 300x300 labels
+    against 256x256 GT and the APs diverged."""
+    import json
+
+    from mapping_tpu.manager import PipelineManager
+
+    data_dir = os.path.join(str(tmp_path), "data")
+    generate(data_dir, n_train=6, n_val=3, seed=33, tile=(256, 256))
+    params = {
+        "data_dir": data_dir,
+        "meta_dir": os.path.join(str(tmp_path), "meta"),
+        "experiment_dir": os.path.join(str(tmp_path), "experiment"),
+        "encoder": "from_scratch",
+        "n_filters": 8,
+        "repeat_blocks": 2,
+        "image_h": 64,
+        "image_w": 64,
+        "crop_image_h": 256,
+        "crop_image_w": 256,
+        "batch_size_train": 3,
+        "batch_size_inference": 3,
+        "epochs_nr": 3,
+        "lr": 0.003,
+        "patience": 100,
+        "validate_with_map": 1,
+        "evaluation_data_sample": 3,
+    }
+    config_path = os.path.join(str(tmp_path), "config.yaml")
+    with open(config_path, "w") as f:
+        yaml.safe_dump({"parameters": params}, f)
+
+    manager = PipelineManager(config_path)
+    manager.prepare_masks(dev_mode=False)
+    manager.prepare_metadata(train_data=True, valid_data=True)
+    manager.train("unet", dev_mode=False)
+
+    epoch_aps = []
+    with open(os.path.join(params["experiment_dir"], "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec["channel"] == "unet epoch_val sum":
+                epoch_aps.append(rec["y"])
+    assert epoch_aps, "no per-epoch validation AP recorded"
+
+    ap, _ = manager.evaluate("unet", dev_mode=False, chunk_size=None)
+    # the cached transformer IS the best-AP checkpoint; evaluate scores the
+    # same val sample through the same fused serve program
+    assert ap == max(epoch_aps), (ap, epoch_aps)
+
+
 def test_serving_daemon_from_trained_pipeline(workspace):
     """The online serving daemon built from a trained pipeline (the CLI
     `serve` command path): POST a real validation tile, get the same COCO
