@@ -168,9 +168,14 @@ def export_cmd(manager, pipeline_name, dir_path, platforms):
 @click.option("--max_dets", type=int, default=100,
               help="draw at most the top-K detections per image by score "
                    "(the eval maxDets protocol); 0 = unlimited")
+@click.option("--hide_suppressed/--show_suppressed", default=True,
+              help="hide score==0.0 instances (NMS-suppressed markers in "
+                   "scoring-pipeline jsons written with emit_suppressed: 1); "
+                   "--show_suppressed draws legitimate zero-score "
+                   "detections from other producers")
 @click.pass_obj
 def visualize(manager, prediction_path, out_dir, n_images, dataset,
-              score_threshold, max_dets):
+              score_threshold, max_dets, hide_suppressed):
     """GT-vs-prediction overlay PNGs for sampled images — the reference's
     results_exploration notebook as a product command."""
     from mapping_tpu.utils.visualize import visualize_predictions
@@ -178,7 +183,7 @@ def visualize(manager, prediction_path, out_dir, n_images, dataset,
     written = visualize_predictions(
         prediction_path, manager.params.data_dir, out_dir,
         dataset=dataset, n_images=n_images, score_threshold=score_threshold,
-        max_dets=max_dets)
+        max_dets=max_dets, hide_suppressed=hide_suppressed)
     click.echo(json.dumps({"written": written}))
 
 

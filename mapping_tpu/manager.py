@@ -118,6 +118,19 @@ class PipelineManager:
         the six pretrained architectures; the config's `encoder` selects
         the target). After this, `evaluate` scores the reference's trained
         weights directly."""
+        # same CATEGORY_LAYERS guard as train/evaluate: a scoring-model
+        # configured yaml ([1, 19]) would build a pipeline whose cache
+        # mismatches later evaluate runs, surfacing only as a distant
+        # shape error — fail at import time instead
+        cl = self._category_layers()
+        if "scoring_model" in pipeline_name:
+            assert cl[1] > 1, (
+                "Importing under a scoring-model pipeline requires multiple "
+                "thresholds: set category_layers to [1, 19]")
+        else:
+            assert cl[1] == 1, (
+                "Importing a base unet checkpoint requires category_layers "
+                "[1, 1] (this yaml sets {})".format(cl))
         pipeline = PIPELINES[pipeline_name]["inference"](self.config)
         base = getattr(pipeline, "base", pipeline)
         base.import_checkpoint(path)

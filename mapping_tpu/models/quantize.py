@@ -292,17 +292,19 @@ def quantized_probs_fn(model, get_params, calib_images,
 
     # one jitted calibration forward shared across version-drift rebuilds
     # (a fresh jax.jit wrapper per rebuild would retrace + recompile the
-    # whole float forward inside a serving dispatch). Without a version_fn
-    # there are no rebuilds: let collect_stats make its own ephemeral jit
-    # so the compiled float-forward executable is freed after calibration
-    # instead of pinned for the serving process's lifetime.
-    stats_fn = (jax.jit(make_stats_fn(model, train=False))
-                if version_fn is not None else None)
+    # whole float forward inside a serving dispatch) — built LAZILY on the
+    # first RECALIBRATION, not eagerly: in the common never-drifting case
+    # nothing pins a second compiled float-forward executable alongside the
+    # quantized program for the serving process's lifetime, and the initial
+    # build's ephemeral jit is freed right after calibration.
+    shared = {"stats_fn": None}
 
-    def build():
+    def build(reuse_stats_fn=False):
+        if reuse_stats_fn and shared["stats_fn"] is None:
+            shared["stats_fn"] = jax.jit(make_stats_fn(model, train=False))
         variables = to_variables(get_params())
-        stats = collect_stats(model, variables, batches, stats_fn=stats_fn,
-                              train=False)
+        stats = collect_stats(model, variables, batches,
+                              stats_fn=shared["stats_fn"], train=False)
         qtable = build_qtable(variables["params"], stats, min_dim=min_dim)
         logger.info("quantized serving: %d conv(s) int8, calibrated on %d "
                     "image(s)", len(qtable), n)
@@ -316,7 +318,7 @@ def quantized_probs_fn(model, get_params, calib_images,
             if key != cache["key"]:
                 logger.info("quantized serving: weights changed (%s -> %s); "
                             "recalibrating int8 kernels", cache["key"], key)
-                cache["packed"] = build()
+                cache["packed"] = build(reuse_stats_fn=True)
                 cache["key"] = key
         return cache["packed"]
 

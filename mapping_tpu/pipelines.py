@@ -195,6 +195,26 @@ class UNetPipeline:
             has_archives = (os.path.isdir(f"{ck}.stage1")
                             or os.path.exists(f"{stem}.stage1.msgpack"))
             if os.path.isdir(ck) and not has_archives:
+                # ... unless a resume sidecar is present: a user who manually
+                # removed the stage archives after a killed warm-start run
+                # would otherwise have the IN-PROGRESS checkpoints (including
+                # the sidecar) archived and the stage silently restarted —
+                # and NOT archiving is no better (the stale sidecar would
+                # resume a past-end schedule and train zero epochs). The two
+                # cases are indistinguishable from disk state, so refuse and
+                # make the user disambiguate.
+                sidecar = os.path.join(ck, "last.msgpack")
+                if os.path.exists(sidecar):
+                    raise RuntimeError(
+                        "warm start: checkpoint dir {} has no STAGE_COMPLETE "
+                        "marker and no stage archives, but a resume sidecar "
+                        "(last.msgpack) is present — this is either a stage "
+                        "completed before stage markers existed, or a killed "
+                        "warm-start stage whose archives were removed. If "
+                        "the previous stage finished, delete last.msgpack* "
+                        "from the checkpoint dir and re-run; if it was "
+                        "killed mid-run, re-run the SAME train command "
+                        "without --warm_start to resume it first.".format(ck))
                 completed = True
                 logger.warning(
                     "warm start: checkpoint dir has no STAGE_COMPLETE marker "

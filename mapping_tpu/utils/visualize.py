@@ -70,6 +70,7 @@ def visualize_predictions(prediction_path: str, data_dir: str, out_dir: str,
                           image_ids: Optional[Sequence[int]] = None,
                           score_threshold: float = 0.0,
                           max_dets: int = 100,
+                          hide_suppressed: bool = True,
                           seed: int = 1234) -> List[str]:
     """Write GT-vs-prediction overlay PNGs for sampled images.
 
@@ -81,6 +82,12 @@ def visualize_predictions(prediction_path: str, data_dir: str, out_dir: str,
     ranks; scoring-pipeline jsons carry every candidate instance (GBM
     scores ~1e-4 for junk), and drawing them all would bury the real
     detections. Returns the written file paths.
+    hide_suppressed (default on): drop score==0.0 instances even at
+    score_threshold 0 — in scoring-pipeline jsons written with
+    `emit_suppressed: 1`, a zero score marks an NMS-suppressed instance
+    (scoring.py zeroes, never removes), and thousands of suppressed masks
+    per image would paint the overlay solid red. Pass False to draw
+    legitimate zero-score detections from other producers.
     """
     from PIL import Image
 
@@ -122,13 +129,12 @@ def visualize_predictions(prediction_path: str, data_dir: str, out_dir: str,
                     gt.load_anns(gt.get_ann_ids(img_ids=[image_id]))]
         pred_anns = (dt.load_anns(dt.get_ann_ids(img_ids=[image_id]))
                      if dt is not None else [])
-        # score 0.0 marks an NMS-suppressed instance in scoring-pipeline
-        # prediction.json files (scoring.py zeroes suppressed scores, it
-        # never removes the annotation) — never drawn, even at the default
-        # threshold 0: thousands of suppressed masks per image would paint
-        # the overlay solid red and take minutes to decode
+        # hide_suppressed: score 0.0 marks an NMS-suppressed instance in
+        # scoring-pipeline prediction.json files written with
+        # emit_suppressed: 1 — hidden by default, drawable via the flag
+        # (a zero-score detection from another producer is legitimate)
         kept = [a for a in pred_anns
-                if float(a.get("score", 1.0)) > 0.0
+                if (not hide_suppressed or float(a.get("score", 1.0)) > 0.0)
                 and float(a.get("score", 1.0)) >= score_threshold]
         kept.sort(key=lambda a: -float(a.get("score", 1.0)))  # stable
         # strictly-positive gate: 0 means unlimited, and a negative value

@@ -116,6 +116,20 @@ def test_imported_checkpoint_evaluates(workspace):
                                        "prediction.json"))
 
 
+def test_import_checkpoint_guards_category_layers(workspace):
+    """ADVICE r4: importing under a scoring-model-configured yaml
+    (category_layers [1, 19]) must fail at import time with the same guard
+    train/evaluate enforce, not later as a distant shape mismatch."""
+    import pytest
+
+    from mapping_tpu.manager import PipelineManager
+
+    manager = PipelineManager(workspace["config"],
+                              overrides={"category_layers": [1, 19]})
+    with pytest.raises(AssertionError, match="category_layers"):
+        manager.import_checkpoint(workspace["ckpts"]["wrapped"])
+
+
 def test_import_checkpoint_cli_registered():
     from click.testing import CliRunner
 

@@ -228,8 +228,11 @@ def test_version_fn_recalibrates_on_weight_change():
 def test_recalibration_reuses_one_jitted_stats_fn(monkeypatch):
     """Version-drift recalibration must NOT rebuild the jitted calibration
     forward (a fresh jax.jit wrapper would retrace + recompile the whole
-    float model inside a serving dispatch): make_stats_fn is called once
-    per quantized_probs_fn, not once per rebuild."""
+    float model inside a serving dispatch) — and the shared wrapper is
+    built LAZILY on the FIRST drift (ADVICE r4: the never-drifting common
+    case must not pin a second compiled executable for the process
+    lifetime): one ephemeral make_stats_fn for the initial calibration,
+    one shared on first recalibration, none after."""
     import mapping_tpu.models.quantize as qz
     from mapping_tpu.models import build_network
 
@@ -254,11 +257,13 @@ def test_recalibration_reuses_one_jitted_stats_fn(monkeypatch):
         np.asarray(x), has_batch_stats=True,
         version_fn=lambda: holder["version"])
     get_packed()
+    assert calls["n"] == 1  # initial build: ephemeral jit, freed after
     holder["version"] = 1
-    get_packed()  # rebuilds the qtable...
+    get_packed()  # first drift: builds the SHARED calibration forward
+    assert calls["n"] == 2
     holder["version"] = 2
-    get_packed()
-    assert calls["n"] == 1  # ...but never re-traces the calibration forward
+    get_packed()  # later drifts reuse it — never re-traced
+    assert calls["n"] == 2
 
 
 def test_calib_bounds_honor_batch_size():

@@ -169,6 +169,30 @@ def test_visualize_drops_nms_suppressed_zero_scores(workspace, tmp_path):
     np.testing.assert_array_equal(b, np.asarray(Image.open(c[0])))
 
 
+def test_visualize_show_suppressed_draws_zero_scores(workspace, tmp_path):
+    """ADVICE r4: the score==0 drop is a scoring-pipeline convention; a
+    producer whose zero scores are legitimate can draw them with
+    hide_suppressed=False (--show_suppressed)."""
+    from PIL import Image
+
+    from mapping_tpu.utils.visualize import visualize_predictions
+
+    pred = _fake_prediction(workspace["data_dir"], n=1)
+    zero = [dict(pred[0], score=0.0)]
+    zero_path = os.path.join(workspace["root"], "prediction_zero.json")
+    with open(zero_path, "w") as f:
+        json.dump(zero, f)
+
+    hidden = visualize_predictions(zero_path, workspace["data_dir"],
+                                   str(tmp_path / "hidden"), n_images=1)
+    shown = visualize_predictions(zero_path, workspace["data_dir"],
+                                  str(tmp_path / "shown"), n_images=1,
+                                  hide_suppressed=False)
+    a = np.asarray(Image.open(hidden[0]))
+    b = np.asarray(Image.open(shown[0]))
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0
+
+
 def test_visualize_max_dets_caps_by_score(workspace, tmp_path):
     """Overlays draw at most the top-K detections by score (the eval
     protocol's maxDets): a flood of low-score junk must not change the

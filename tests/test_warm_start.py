@@ -153,31 +153,56 @@ def test_begin_stage_leaves_killed_stage_in_place(tmp_path):
 
 
 def test_begin_stage_archives_legacy_pre_marker_stage(tmp_path):
-    """A checkpoint dir with NO marker and NO stage archives predates the
-    STAGE_COMPLETE marker (legacy completed stage). Its stale resume
-    sidecar must NOT hijack the new stage's fresh schedule (it would
-    resume past the old schedule's end and train ZERO epochs): the stage
-    is treated as completed and archived."""
+    """A checkpoint dir with NO marker, NO stage archives and NO resume
+    sidecar predates the STAGE_COMPLETE marker (legacy completed stage
+    whose resume was off or cleaned): treated as completed and archived."""
     p = _stage_pipeline(tmp_path)
     ck = p._checkpoint_dir
     os.makedirs(ck)
-    with open(os.path.join(ck, "last.msgpack"), "wb") as f:
-        f.write(b"legacy-resume")
+    with open(os.path.join(ck, "best.msgpack"), "wb") as f:
+        f.write(b"legacy-best")
     os.makedirs(os.path.dirname(p.trainer_cache_path))
     with open(p.trainer_cache_path, "wb") as f:
         f.write(b"legacy-weights")
 
     p._begin_stage()
-    # archived exactly like a marked completed stage: the sidecar moved
-    # out of the live checkpoint dir, weights copied, cache untouched
+    # archived exactly like a marked completed stage: checkpoints moved
+    # out of the live dir, weights copied, cache untouched
     assert not os.path.exists(ck)
-    assert os.path.exists(os.path.join(f"{ck}.stage1", "last.msgpack"))
+    assert os.path.exists(os.path.join(f"{ck}.stage1", "best.msgpack"))
     archived = p.trainer_cache_path[:-len(".msgpack")] + ".stage1.msgpack"
     with open(archived, "rb") as f:
         assert f.read() == b"legacy-weights"
     with open(p.trainer_cache_path, "rb") as f:
         assert f.read() == b"legacy-weights"
     assert p.trainer._warm_start_path == p.trainer_cache_path
+
+
+def test_begin_stage_refuses_ambiguous_markerless_sidecar(tmp_path):
+    """ADVICE r4: a markerless, archive-less checkpoint dir WITH a resume
+    sidecar is ambiguous — either a pre-marker completed stage, or a killed
+    warm-start stage whose archives were manually removed. Archiving would
+    silently restart an in-progress stage; leaving it would let the stale
+    sidecar hijack the fresh schedule. _begin_stage must refuse with
+    disambiguation instructions, touching nothing on disk."""
+    import pytest
+
+    p = _stage_pipeline(tmp_path)
+    ck = p._checkpoint_dir
+    os.makedirs(ck)
+    with open(os.path.join(ck, "last.msgpack"), "wb") as f:
+        f.write(b"ambiguous-resume")
+    os.makedirs(os.path.dirname(p.trainer_cache_path))
+    with open(p.trainer_cache_path, "wb") as f:
+        f.write(b"weights")
+
+    with pytest.raises(RuntimeError, match="resume sidecar"):
+        p._begin_stage()
+    # nothing archived, nothing deleted
+    assert os.path.exists(os.path.join(ck, "last.msgpack"))
+    assert not os.path.isdir(f"{ck}.stage1")
+    with open(p.trainer_cache_path, "rb") as f:
+        assert f.read() == b"weights"
 
 
 def test_warm_start_overwrite_mutually_exclusive(tmp_path):
