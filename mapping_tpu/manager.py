@@ -317,7 +317,12 @@ def predict_on_dir(pipeline_name, dir_path, prediction_path, chunk_size,
 def generate_prediction(meta_data, pipeline, config, chunk_size=None):
     category_layers = tuple(config.params.get("category_layers",
                                               CATEGORY_LAYERS))
-    if chunk_size is None and config.params.get("stream_mode", 0):
+    # scoring pipelines force stream mode like the reference did
+    # (src/pipelines.py:309): their 19-layer label maps + feature tensors
+    # for a default 1000-image evaluate would hold ~GBs if materialized
+    stream = (config.params.get("stream_mode", 0)
+              or getattr(pipeline, "force_stream", False))
+    if chunk_size is None and stream:
         # stream mode: per-image generator through the WHOLE chain (the
         # reference's generator-transformer path, src/utils.py:392-413);
         # only one postprocessed batch is live at a time

@@ -475,7 +475,14 @@ class ScoringModelPipeline:
 
 class ScoringInferencePipeline:
     """unet[_padded|_tta]_scoring_model (reference src/pipelines.py:341-392):
-    base inference -> features -> regressor scores -> threshold-layer NMS."""
+    base inference -> features -> regressor scores -> threshold-layer NMS.
+
+    force_stream: the reference FORCED stream mode on scoring pipelines
+    (src/pipelines.py:309) because the 19-threshold-layer label maps for a
+    default 1000-image evaluate are ~3.6 GB if materialized; the manager's
+    generate_prediction honors the flag the same way."""
+
+    force_stream = True
 
     def __init__(self, config, base_factory):
         self.config = config
@@ -494,23 +501,44 @@ class ScoringInferencePipeline:
     def clean_cache(self):
         pass
 
-    def transform(self, data):
+    def _load_model(self):
         if not os.path.exists(self.cache_path):
             raise RuntimeError(
                 f"no trained scoring model at {self.cache_path}")
         self.model.load(self.cache_path)
-        out = self.base.transform(data, return_features=True)
-        features = [features_from_tensor(feats, labels,
-                                         category_layers=self.category_layers)
-                    for (labels, _), feats in zip(out["y_pred"],
-                                                  out["features_tensor"])]
-        scores = self.model.transform(features)["scores"]
-        images_with_scores = [
-            (labels, image_scores)
-            for (labels, _), image_scores in zip(out["y_pred"], scores)
-        ]
-        cleaned = self.nms.transform(images_with_scores)["images_with_scores"]
-        return {"y_pred": cleaned}
+
+    def _score_one(self, labels, feats):
+        """features -> GBM predicted-IoU scores -> cross-layer NMS, for ONE
+        image. NMS is per-image in both the reference and the batch path
+        (remove_overlapping_masks never looks across images), so scoring
+        image-at-a-time is exactly the batch computation, streamed."""
+        features = features_from_tensor(feats, labels,
+                                        category_layers=self.category_layers)
+        image_scores = self.model.transform([features])["scores"][0]
+        (labels, image_scores), = self.nms.transform(
+            [(labels, image_scores)])["images_with_scores"]
+        return labels, image_scores
+
+    def transform(self, data):
+        self._load_model()
+        out = {"y_pred": []}
+        for pred, feats in self.base._postprocessed_images(
+                data, return_features=True):
+            labels, _ = pred
+            out["y_pred"].append(self._score_one(labels, feats))
+        return out
+
+    def transform_stream(self, data):
+        """True streaming scoring inference (VERDICT r4 next #2): walk the
+        base pipeline's per-image generator — features -> GBM score -> NMS
+        -> yield — like the scoring TRAIN path (ScoringModelPipeline.
+        fit_transform); peak live memory is one postprocessed batch, never
+        the whole sample's label maps + feature tensors."""
+        self._load_model()
+        return {"y_pred": (
+            self._score_one(pred[0], feats)
+            for pred, feats in self.base._postprocessed_images(
+                data, return_features=True))}
 
     def fit_transform(self, data):
         return self.transform(data)
