@@ -133,6 +133,12 @@ DEFAULT_PARAMS: Dict[str, Any] = {
     "w_pad": 10,
     "pad_method": "replicate",
     # scoring model
+    "emit_suppressed": 0,  # scoring pipelines: keep NMS-suppressed
+                           # (score==0) instances in prediction.json like
+                           # the reference did (~1.5k junk rows/image on the
+                           # 19-layer path); 0 drops them at the writer —
+                           # the eval protocol caps at maxDets=100 by score,
+                           # so suppressed tails past the cap never score
     "scoring_model": "lgbm",
     "scoring_model__num_training_examples": 10000,
     "lgbm__learning_rate": 0.01,

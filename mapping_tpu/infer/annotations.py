@@ -30,9 +30,19 @@ def labeled_to_annotations(
     scores,
     category_ids: Sequence[Optional[int]],
     category_layers: Sequence[int],
+    emit_suppressed: bool = True,
 ) -> List[dict]:
     """labels (L, H, W) int32, scores (L, max_instances) array or
-    list-of-lists per layer -> result dicts."""
+    list-of-lists per layer -> result dicts.
+
+    emit_suppressed=False drops instances whose score is exactly 0.0 — the
+    scoring pipelines' NMS marks suppression by zeroing the score, never
+    removing the instance (scoring.py remove_overlapping_masks, reference
+    src/postprocessing.py:367-380), so a 19-layer prediction.json carries
+    ~1.5k junk rows/image unless the writer drops them. The eval protocol
+    ranks by score and caps at maxDets=100, so the default writer-side
+    drop is configured per pipeline by the manager (`emit_suppressed`
+    param), not here."""
     annotations = []
     layer_to_cat = np.searchsorted(
         np.cumsum(category_layers), np.arange(labels.shape[0]), side="right")
@@ -59,22 +69,28 @@ def labeled_to_annotations(
         if _native is not None and _native.available():
             packed = _native.rle_instances(layer, n_instances)
             for label_nr, (counts, bbox) in enumerate(packed, start=1):
+                score = float(layer_scores[label_nr - 1])
+                if not emit_suppressed and score == 0.0:
+                    continue
                 annotations.append({
                     "image_id": int(image_id),
                     "category_id": int(category_id),
-                    "score": float(layer_scores[label_nr - 1]),
+                    "score": score,
                     "segmentation": {"size": [h, w],
                                      "counts": counts.decode("utf-8")},
                     "bbox": bbox,
                 })
             continue
         for label_nr in range(1, n_instances + 1):
+            score = float(layer_scores[label_nr - 1])
+            if not emit_suppressed and score == 0.0:
+                continue
             mask = (layer == label_nr).astype(np.uint8)
             rle = rle_ops.encode(mask)
             annotations.append({
                 "image_id": int(image_id),
                 "category_id": int(category_id),
-                "score": float(layer_scores[label_nr - 1]),
+                "score": score,
                 "segmentation": {
                     "size": rle["size"],
                     "counts": rle["counts"].decode("utf-8"),

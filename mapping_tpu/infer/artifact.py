@@ -204,6 +204,9 @@ def export_serving_artifact(pipeline, config, out_dir: str,
     }
     if scoring is not None:
         manifest["nms_iou_threshold"] = float(scoring.nms.iou_threshold)
+        # replay matches the exporting config's writer semantics: drop
+        # NMS-suppressed (score==0) instances unless emit_suppressed: 1
+        manifest["emit_suppressed"] = int(cfg.get("emit_suppressed", 0))
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1)
     return manifest
@@ -366,8 +369,12 @@ class ArtifactServe:
         from mapping_tpu.scoring import load_scoring_model
 
         model = load_scoring_model(os.path.join(self._dir, _SCORING_MODEL))
-        return scoring_convert_fn(model, self.manifest["category_layers"],
-                                  self.manifest["nms_iou_threshold"])
+        # pre-emit_suppressed artifacts (no manifest key) replay the old
+        # emit-everything behavior bit-for-bit
+        return scoring_convert_fn(
+            model, self.manifest["category_layers"],
+            self.manifest["nms_iou_threshold"],
+            emit_suppressed=bool(self.manifest.get("emit_suppressed", 1)))
 
     def annotations(self, image_id: int, labels, scores,
                     category_ids=None):

@@ -179,6 +179,12 @@ class Microbatcher:
         with self._stats_lock:
             self.stats[counter] += 1
 
+    def param_source_stats(self):
+        """Recalibration counters from a quantized serve program
+        (FusedServe.recalibration_stats); {} for float or artifact serves."""
+        fn = getattr(self._serve, "recalibration_stats", None)
+        return fn() if fn is not None else {}
+
     def latency_quantiles(self):
         """{p50, p95, p99} in ms over the recent served-request window."""
         window = list(self._latencies)
@@ -426,6 +432,10 @@ def _make_handler(batcher: Microbatcher, target_hw, info: dict):
                     stats["mean_batch_occupancy"] = round(
                         stats["requests"] / stats["batches"], 2)
                 stats.update(batcher.latency_quantiles())
+                # quantized serving: background-recalibration visibility
+                # (how many drifts, how many batches served on the previous
+                # snapshot while a rebuild was in flight)
+                stats.update(batcher.param_source_stats())
                 self._reply(200, stats)
             else:
                 self._reply(404, {"error": "unknown path"})
@@ -493,7 +503,8 @@ class ServingDaemon:
         self.batcher.close()
 
 
-def scoring_convert_fn(model, category_layers, iou_threshold):
+def scoring_convert_fn(model, category_layers, iou_threshold,
+                       emit_suppressed=True):
     """Per-image annotation converter for a scoring-model serve (the
     Microbatcher `convert` protocol): the device program's 4th output is
     the per-instance feature tensor; each image gets GBM IoU rescoring +
@@ -516,7 +527,8 @@ def scoring_convert_fn(model, category_layers, iou_threshold):
         labels, scores = remove_overlapping_masks(
             labels, scores, iou_threshold)
         return labeled_to_annotations(image_id, labels, scores,
-                                      CATEGORY_IDS, category_layers)
+                                      CATEGORY_IDS, category_layers,
+                                      emit_suppressed=emit_suppressed)
 
     return convert
 
@@ -579,10 +591,20 @@ def daemon_from_pipeline(pipeline, config, host="127.0.0.1", port=8000,
         pipeline.trainer.load(pipeline.trainer_cache_path)
         pipeline._weights_loaded = True
     serve = pipeline.serve_program(return_features=scoring is not None)
+    # quantized serving online: a trainer.load() mid-serve must not stall a
+    # request for the multi-second qtable rebuild — serve the previous int8
+    # snapshot while recalibrating in the background (offline evaluate
+    # keeps the synchronous rebuild for immediate freshness); visible in
+    # /v1/stats as {recalibrations, serving_stale_batches}
+    if serve.enable_async_recalibration():
+        logger.info("quantized serving: weight-drift recalibration runs in "
+                    "the background (previous snapshot served until swap)")
     convert = None
     if scoring is not None:
-        convert = scoring_convert_fn(scoring.model, scoring.category_layers,
-                                     scoring.nms.iou_threshold)
+        convert = scoring_convert_fn(
+            scoring.model, scoring.category_layers,
+            scoring.nms.iou_threshold,
+            emit_suppressed=bool(config.params.get("emit_suppressed", 0)))
 
     params = config.params
     # canonical raw request shape = the dataset tile size the offline path

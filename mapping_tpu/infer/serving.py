@@ -183,6 +183,23 @@ class FusedServe:
 
         return jax.jit(run)
 
+    # ------------------------------------------------- param-source hooks
+    def enable_async_recalibration(self) -> bool:
+        """Online-serving mode for a quantized param source: on weight
+        drift, serve the previous int8 snapshot while the qtable rebuilds
+        on a background thread (models/quantize.py get_packed.set_async).
+        No-op (False) for float param sources."""
+        hook = getattr(self._get_params, "set_async", None)
+        if hook is None:
+            return False
+        hook(True)
+        return True
+
+    def recalibration_stats(self):
+        """{'recalibrations', 'serving_stale_batches'} from a quantized
+        param source; {} for float serving."""
+        return dict(getattr(self._get_params, "stats", {}) or {})
+
     # -------------------------------------------------------------- call
     def dispatch(self, images):
         """Enqueue the fused program for one batch WITHOUT syncing: stages

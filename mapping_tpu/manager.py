@@ -317,6 +317,13 @@ def predict_on_dir(pipeline_name, dir_path, prediction_path, chunk_size,
 def generate_prediction(meta_data, pipeline, config, chunk_size=None):
     category_layers = tuple(config.params.get("category_layers",
                                               CATEGORY_LAYERS))
+    # scoring pipelines mark NMS-suppressed instances with score 0 instead
+    # of removing them (reference parity); by default the writer drops them
+    # (`emit_suppressed: 0`) — the eval protocol ranks by score and caps at
+    # maxDets=100, and a ~25x smaller prediction.json scores identically.
+    # Non-scoring pipelines never zero a score, so they always emit all.
+    emit_suppressed = (not hasattr(pipeline, "nms")
+                       or bool(config.params.get("emit_suppressed", 0)))
     # scoring pipelines force stream mode like the reference did
     # (src/pipelines.py:309): their 19-layer label maps + feature tensors
     # for a default 1000-image evaluate would hold ~GBs if materialized
@@ -339,7 +346,7 @@ def generate_prediction(meta_data, pipeline, config, chunk_size=None):
                     meta_data["ImageId"].values, stream):
                 prediction.extend(labeled_to_annotations(
                     image_id, np.asarray(labels), scores, CATEGORY_IDS,
-                    category_layers))
+                    category_layers, emit_suppressed=emit_suppressed))
             return prediction
         # pipelines without a stream path fall back to batch-sized chunks
         chunk_size = int(config.params.batch_size_inference)
@@ -363,7 +370,7 @@ def generate_prediction(meta_data, pipeline, config, chunk_size=None):
         for image_id, (labels, scores) in zip(chunk["ImageId"].values, y_pred):
             prediction.extend(labeled_to_annotations(
                 image_id, np.asarray(labels), scores, CATEGORY_IDS,
-                category_layers))
+                category_layers, emit_suppressed=emit_suppressed))
     return prediction
 
 

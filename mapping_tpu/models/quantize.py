@@ -278,7 +278,18 @@ def quantized_probs_fn(model, get_params, calib_images,
     serve_program() serves the NEW weights at the next call, never a stale
     snapshot. Without version_fn the build-time snapshot is returned
     forever and callers that change weights must rebuild.
+
+    Recalibration latency (VERDICT r4 next #6): the rebuild is a
+    calibration forward + full requantization — seconds, not ms. By
+    default it runs SYNCHRONOUSLY inside the get_packed() that observed
+    the drift (offline evaluate wants immediate freshness). The online
+    daemon calls get_packed.set_async(True): drift then kicks the rebuild
+    onto a background thread and serving continues on the PREVIOUS
+    snapshot until the atomic swap, so no request eats a multi-second
+    spike. Either way get_packed.stats carries {'recalibrations',
+    'serving_stale_batches'} for /v1/stats.
     """
+    import threading
 
     def to_variables(p):
         if has_batch_stats:
@@ -310,17 +321,72 @@ def quantized_probs_fn(model, get_params, calib_images,
                     "image(s)", len(qtable), n)
         return {"variables": variables, "qtable": qtable}
 
-    cache = {"key": version_fn() if version_fn else None, "packed": build()}
+    cache = {"key": version_fn() if version_fn else None, "packed": build(),
+             "rebuilding": False, "async": False}
+    lock = threading.Lock()
+    stats = {"recalibrations": 0, "serving_stale_batches": 0}
+
+    def _rebuild_loop():
+        """Background rebuild; loops if the version drifts again while a
+        rebuild is in flight, so the final swap always matches the live
+        weights. The swap is atomic under the lock; readers either see the
+        complete old snapshot or the complete new one."""
+        try:
+            while True:
+                key = version_fn()  # capture BEFORE reading params
+                packed = build(reuse_stats_fn=True)
+                with lock:
+                    cache["packed"] = packed
+                    cache["key"] = key
+                if version_fn() == key:
+                    return
+                with lock:
+                    stats["recalibrations"] += 1
+                logger.info("quantized serving: weights drifted again "
+                            "during recalibration; rebuilding")
+        finally:
+            with lock:
+                cache["rebuilding"] = False
 
     def get_packed():
         if version_fn is not None:
             key = version_fn()
             if key != cache["key"]:
-                logger.info("quantized serving: weights changed (%s -> %s); "
-                            "recalibrating int8 kernels", cache["key"], key)
-                cache["packed"] = build(reuse_stats_fn=True)
-                cache["key"] = key
+                if cache["async"]:
+                    with lock:
+                        if key != cache["key"]:  # re-check under the lock
+                            stats["serving_stale_batches"] += 1
+                            if not cache["rebuilding"]:
+                                cache["rebuilding"] = True
+                                stats["recalibrations"] += 1
+                                logger.info(
+                                    "quantized serving: weights changed "
+                                    "(%s -> %s); recalibrating int8 kernels "
+                                    "in the background, serving the "
+                                    "previous snapshot until the swap",
+                                    cache["key"], key)
+                                threading.Thread(
+                                    target=_rebuild_loop, daemon=True,
+                                    name="quant-recalibrate").start()
+                else:
+                    logger.info("quantized serving: weights changed "
+                                "(%s -> %s); recalibrating int8 kernels",
+                                cache["key"], key)
+                    packed = build(reuse_stats_fn=True)
+                    with lock:
+                        cache["packed"] = packed
+                        cache["key"] = key
+                        stats["recalibrations"] += 1
         return cache["packed"]
+
+    def set_async(flag: bool):
+        """Online-serving mode: serve the previous int8 snapshot during a
+        drift rebuild instead of blocking the dispatch (the daemon calls
+        this; offline evaluate keeps the synchronous default)."""
+        cache["async"] = bool(flag)
+
+    get_packed.set_async = set_async
+    get_packed.stats = stats
 
     apply_q = make_quantized_apply(model, train=False)
 

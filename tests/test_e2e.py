@@ -337,6 +337,81 @@ def test_serving_daemon_through_mesh_drops_indivisible_buckets(workspace):
     assert daemon.batcher.stats["images_padded"] == 7
 
 
+def test_quantized_daemon_recalibrates_in_background(workspace):
+    """VERDICT r4 next #6: on the ONLINE daemon, a trainer.load() mid-serve
+    must not stall a request for the multi-second qtable rebuild — the
+    request is served from the previous int8 snapshot while the rebuild
+    runs in the background, and /v1/stats surfaces {recalibrations,
+    serving_stale_batches}."""
+    import glob
+    import json
+    import time
+    import urllib.request
+
+    import jax
+
+    import mapping_tpu.pipelines as pl
+    from mapping_tpu.infer.daemon import daemon_from_pipeline
+    from mapping_tpu.manager import PipelineManager
+    from mapping_tpu.train.checkpoint import save_state
+
+    manager = PipelineManager(workspace["config"], overrides={
+        "quantized_serving": 1, "quant_calib_images": 4})
+    pipeline = pl.PIPELINES["unet"]["inference"](manager.config)
+    pipeline.trainer.load(pipeline.trainer_cache_path)
+    pipeline._weights_loaded = True
+    daemon = daemon_from_pipeline(pipeline, manager.config, port=0,
+                                  max_wait_ms=1.0)
+    daemon.start_background()
+    try:
+        img_path = sorted(glob.glob(os.path.join(
+            workspace["data_dir"], "val", "images", "*")))[0]
+        with open(img_path, "rb") as f:
+            body = f.read()
+
+        def post():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{daemon.port}/v1/predict", data=body,
+                headers={"Content-Type": "image/jpeg", "X-Image-Id": "1"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return json.loads(r.read())
+
+        def stats():
+            return json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:{daemon.port}/v1/stats",
+                timeout=60).read())
+
+        post()
+        s0 = stats()
+        assert s0["recalibrations"] == 0
+        assert s0["serving_stale_batches"] == 0
+
+        # weight drift: a perturbed checkpoint loaded into the live trainer
+        perturbed = os.path.join(workspace["root"], "perturbed_daemon.msgpack")
+        scaled = jax.tree_util.tree_map(lambda l: l * 0.2,
+                                        pipeline.trainer.state.params)
+        save_state(pipeline.trainer.state.replace(params=scaled), perturbed)
+        pipeline.trainer.load(perturbed)
+
+        post()  # served from the previous snapshot, rebuild kicked off
+        s1 = stats()
+        assert s1["recalibrations"] >= 1
+        assert s1["serving_stale_batches"] >= 1
+
+        # the background swap lands: stale counting stops growing
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            before = stats()["serving_stale_batches"]
+            post()
+            if stats()["serving_stale_batches"] == before:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("recalibration never swapped in")
+    finally:
+        daemon.shutdown()
+
+
 def test_quantized_serving_follows_weight_reload(workspace):
     """VERDICT r3 next #4: `trainer.load()` AFTER serve_program() with
     `quantized_serving: 1` serves the NEW weights — the packed int8 kernels

@@ -266,6 +266,88 @@ def test_recalibration_reuses_one_jitted_stats_fn(monkeypatch):
     assert calls["n"] == 2
 
 
+def test_async_recalibration_serves_stale_then_swaps():
+    """VERDICT r4 next #6: with set_async(True) (the daemon's mode), a
+    weight drift must NOT block get_packed on the multi-second rebuild —
+    the previous snapshot serves immediately, the counters record it, and
+    the background thread swaps atomically when done. A second drift during
+    the rebuild is also converged (the loop re-runs until the key matches
+    the live version)."""
+    import threading
+    import time
+
+    import mapping_tpu.models.quantize as qz
+    from mapping_tpu.models import build_network
+
+    model = build_network({"encoder": "from_scratch", "n_filters": 8,
+                           "repeat_blocks": 2})
+    x = jnp.asarray(np.random.RandomState(6).rand(1, 64, 64, 3)
+                    .astype(np.float32))
+    v0 = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    versions = {
+        0: v0,
+        1: jax.tree_util.tree_map(lambda l: l * 0.5, v0),
+        2: jax.tree_util.tree_map(lambda l: l * 0.1, v0),
+    }
+    holder = {"version": 0}
+    gate = threading.Event()
+    gate.set()
+
+    def get_params():
+        gate.wait(timeout=30)  # rebuild blocks here while the gate is down
+        v = versions[holder["version"]]
+        return v["params"], v.get("batch_stats", {})
+
+    probs_fn, get_packed = qz.quantized_probs_fn(
+        model, get_params, np.asarray(x), has_batch_stats=True,
+        version_fn=lambda: holder["version"])
+    get_packed.set_async(True)
+    packed_v0 = get_packed()
+    assert get_packed.stats == {"recalibrations": 0,
+                                "serving_stale_batches": 0}
+
+    # drift with the rebuild gated: get_packed must return INSTANTLY with
+    # the stale snapshot, twice, spawning exactly one rebuild thread
+    gate.clear()
+    holder["version"] = 1
+    t0 = time.monotonic()
+    stale_a = get_packed()
+    stale_b = get_packed()
+    assert time.monotonic() - t0 < 1.0, "get_packed blocked on the rebuild"
+    assert stale_a is packed_v0 and stale_b is packed_v0
+    assert get_packed.stats["recalibrations"] == 1
+    assert get_packed.stats["serving_stale_batches"] == 2
+
+    # second drift while the rebuild is still gated: the loop must converge
+    # on the FINAL version, not the one that triggered the thread
+    holder["version"] = 2
+    gate.set()
+    # the loop may swap an intermediate v1 snapshot first (the thread
+    # captured key=1 before the second drift), then rebuild for v2 — poll
+    # until the FINAL weights are live: v2's per-channel w_scale is exactly
+    # 0.1x v0's
+    key0 = next(iter(packed_v0["qtable"]))
+    w0 = np.asarray(packed_v0["qtable"][key0]["w_scale"])
+
+    def live_scale():
+        return np.asarray(get_packed()["qtable"][key0]["w_scale"])
+
+    deadline = time.monotonic() + 60
+    while (not np.allclose(live_scale(), w0 * 0.1, rtol=1e-5)
+           and time.monotonic() < deadline):
+        time.sleep(0.05)
+    packed_new = get_packed()
+    assert packed_new is not packed_v0
+    np.testing.assert_allclose(
+        np.asarray(packed_new["qtable"][key0]["w_scale"]), w0 * 0.1,
+        rtol=1e-5)
+    # let the rebuild thread retire before checking the counters settle
+    time.sleep(0.3)
+    stale_after = get_packed.stats["serving_stale_batches"]
+    get_packed()
+    assert get_packed.stats["serving_stale_batches"] == stale_after
+
+
 def test_calib_bounds_honor_batch_size():
     """Every image is covered by equal-size chunks of at most
     calib_batch_size (the tail chunk overlaps instead of growing or

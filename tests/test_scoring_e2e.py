@@ -113,6 +113,48 @@ def test_scoring_inference_streams_by_default(workspace):
     assert json.dumps(pred_stream) == json.dumps(pred_batch)
 
 
+def test_emit_suppressed_default_shrinks_json_same_ap(workspace):
+    """VERDICT r4 next #7: the default writer-side drop of NMS-suppressed
+    (score==0) instances must leave AP/AR bit-identical — the eval protocol
+    ranks by score and caps at maxDets, and a suppressed instance never
+    outranks the survivor that suppressed it — while shrinking the
+    scoring prediction.json (the 19-layer path carries ~1.5k junk
+    rows/image when emitted)."""
+    import json
+
+    from mapping_tpu.manager import PipelineManager
+
+    manager_drop = PipelineManager(workspace["config"],
+                                   overrides={"category_layers": [1, 19]})
+    ap_d, ar_d = manager_drop.evaluate("unet_scoring_model", dev_mode=False,
+                                       chunk_size=None)
+    pred_path = os.path.join(manager_drop.params.experiment_dir,
+                             "prediction.json")
+    with open(pred_path) as f:
+        pred_dropped = json.load(f)
+    size_dropped = os.path.getsize(pred_path)
+
+    manager_emit = PipelineManager(workspace["config"],
+                                   overrides={"category_layers": [1, 19],
+                                              "emit_suppressed": 1})
+    ap_e, ar_e = manager_emit.evaluate("unet_scoring_model", dev_mode=False,
+                                       chunk_size=None)
+    with open(pred_path) as f:
+        pred_emitted = json.load(f)
+    size_emitted = os.path.getsize(pred_path)
+
+    assert ap_d == ap_e and ar_d == ar_e, (ap_d, ap_e, ar_d, ar_e)
+    assert all(a["score"] != 0.0 for a in pred_dropped)
+    n_suppressed = sum(1 for a in pred_emitted if a["score"] == 0.0)
+    assert n_suppressed > 0  # the fixture's 19-layer NMS does suppress
+    assert len(pred_emitted) == len(pred_dropped) + n_suppressed
+    assert size_dropped < size_emitted
+    # and the emitted-vs-dropped survivors are the SAME annotations
+    kept = [a for a in pred_emitted if a["score"] != 0.0]
+    assert json.dumps(kept, sort_keys=True) == json.dumps(
+        pred_dropped, sort_keys=True)
+
+
 def test_scoring_transform_stream_is_lazy(workspace):
     """The scoring stream must not postprocess/score ahead of consumption:
     after pulling ONE image, at most one batch went through the fused
