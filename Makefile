@@ -1,6 +1,11 @@
 # Convenience targets (reference repo ships a Makefile too).
 
-.PHONY: test test-fast bench native clean-native e2e dryrun
+.PHONY: test test-fast bench native clean-native e2e dryrun parity
+
+# Real-data parity vs the reference's published AP 0.943 / AR 0.954:
+#   DATA_DIR=/path/to/crowdai CHECKPOINT=/path/to/best.torch make parity
+parity:
+	python -m mapping_tpu.main parity_drill
 
 test:
 	python -m pytest tests/ -q

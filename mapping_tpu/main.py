@@ -202,6 +202,39 @@ def import_checkpoint(manager, pipeline_name, checkpoint_path):
     manager.finish_experiment()
 
 
+@main.command(name="parity_drill")
+@click.option("-p", "--pipeline_name", default="unet")
+@click.option("--checkpoint", "checkpoint_path", default=None,
+              envvar="CHECKPOINT",
+              help="reference trained checkpoint (torch state_dict); "
+                   "defaults to $CHECKPOINT")
+@click.option("--data_dir", default=None, envvar="DATA_DIR",
+              help="CrowdAI dataset root (train/ + val/ with "
+                   "annotation.json); defaults to $DATA_DIR, else the "
+                   "config's data_dir")
+@click.option("-c", "--chunk_size", type=int, default=None)
+@click.option("-d", "--dev_mode", is_flag=True)
+@click.pass_obj
+def parity_drill(manager, pipeline_name, checkpoint_path, data_dir,
+                 chunk_size, dev_mode):
+    """One-command real-data parity check vs the reference's published
+    AP 0.943 / AR 0.954 (reference README.md:21-29): import the trained
+    checkpoint, run prepare_metadata if needed, evaluate, print the delta.
+    The day the CrowdAI data + checkpoint land, parity is
+
+        DATA_DIR=... CHECKPOINT=... python -m mapping_tpu.main parity_drill
+    """
+    from mapping_tpu.manager import parity_drill as run_drill
+
+    if not checkpoint_path:
+        raise click.UsageError(
+            "no checkpoint: pass --checkpoint or set $CHECKPOINT")
+    report = run_drill(manager, pipeline_name, checkpoint_path,
+                       data_dir=data_dir, chunk_size=chunk_size,
+                       dev_mode=dev_mode)
+    click.echo(json.dumps(report, indent=1))
+
+
 @main.command(name="train_evaluate")
 @click.option("-p", "--pipeline_name", default="unet_weighted")
 @click.option("-d", "--dev_mode", is_flag=True)

@@ -147,6 +147,59 @@ class PipelineManager:
 
 
 # ---------------------------------------------------------------------------
+# real-data parity drill (VERDICT r4 next #8)
+# ---------------------------------------------------------------------------
+
+#: the reference's published stage-1 validation result and the agreed
+#: tolerance (reference README.md:21-29; BASELINE.json parity target)
+REFERENCE_AP = 0.943
+REFERENCE_AR = 0.954
+PARITY_TOLERANCE = 0.002
+
+
+def parity_drill(manager, pipeline_name, checkpoint_path, data_dir=None,
+                 chunk_size=None, dev_mode=False):
+    """import_checkpoint -> (metadata if missing) -> evaluate -> delta vs
+    the reference's published AP 0.943 / AR 0.954. Keeps the real-data
+    parity check a single command for the day the CrowdAI dataset and a
+    trained reference checkpoint land (both are environment-blocked here;
+    the drill itself is rehearsed end-to-end on the synthetic fixture)."""
+    if data_dir:
+        # the drill only needs data_dir for metadata scan + the GT json;
+        # training-side config consumers never run under it
+        manager.params["data_dir"] = str(data_dir)
+    if not os.path.exists(checkpoint_path):
+        raise FileNotFoundError(f"no checkpoint at {checkpoint_path}")
+    manager.start_experiment()
+    meta_path = os.path.join(manager.params.meta_dir, "metadata.csv")
+    if not os.path.exists(meta_path):
+        logger.info("parity drill: no metadata.csv; scanning the val split")
+        manager.prepare_metadata(train_data=False, valid_data=True)
+    manager.import_checkpoint(checkpoint_path, pipeline_name)
+    ap, ar = manager.evaluate(pipeline_name, dev_mode=dev_mode,
+                              chunk_size=chunk_size)
+    report = {
+        "pipeline": pipeline_name,
+        "checkpoint": str(checkpoint_path),
+        "ap": float(ap),
+        "ar": float(ar),
+        "reference_ap": REFERENCE_AP,
+        "reference_ar": REFERENCE_AR,
+        "delta_ap": round(float(ap) - REFERENCE_AP, 6),
+        "delta_ar": round(float(ar) - REFERENCE_AR, 6),
+        "tolerance": PARITY_TOLERANCE,
+        "parity": bool(abs(float(ap) - REFERENCE_AP) <= PARITY_TOLERANCE
+                       and abs(float(ar) - REFERENCE_AR) <= PARITY_TOLERANCE),
+    }
+    logger.info("parity drill: AP %.4f (ref %.3f, delta %+.4f)  AR %.4f "
+                "(ref %.3f, delta %+.4f)  parity=%s",
+                report["ap"], REFERENCE_AP, report["delta_ap"],
+                report["ar"], REFERENCE_AR, report["delta_ar"],
+                report["parity"])
+    return report
+
+
+# ---------------------------------------------------------------------------
 # module-level drivers (reference src/pipeline_manager.py:68-244)
 # ---------------------------------------------------------------------------
 

@@ -52,7 +52,8 @@ def _make_image(rng, h=300, w=300, max_buildings=6):
     return img, anns
 
 
-def generate_split(out_dir, split, n_images, seed, tile=(300, 300)):
+def generate_split(out_dir, split, n_images, seed, tile=(300, 300),
+                   max_buildings=6):
     from PIL import Image
 
     rng = np.random.RandomState(seed)
@@ -67,7 +68,8 @@ def generate_split(out_dir, split, n_images, seed, tile=(300, 300)):
     }
     ann_id = 1
     for i in range(n_images):
-        img, anns = _make_image(rng, h=tile[0], w=tile[1])
+        img, anns = _make_image(rng, h=tile[0], w=tile[1],
+                                max_buildings=max_buildings)
         file_name = f"{split}_{i:05d}.jpg"
         Image.fromarray(img).save(os.path.join(images_dir, file_name),
                                   quality=95)
@@ -92,10 +94,13 @@ def generate_split(out_dir, split, n_images, seed, tile=(300, 300)):
     return ann_path
 
 
-def generate(out_dir, n_train=12, n_val=6, seed=7, tile=(300, 300)):
+def generate(out_dir, n_train=12, n_val=6, seed=7, tile=(300, 300),
+             max_buildings=6):
     os.makedirs(out_dir, exist_ok=True)
-    generate_split(out_dir, "train", n_train, seed, tile=tile)
-    generate_split(out_dir, "val", n_val, seed + 1, tile=tile)
+    generate_split(out_dir, "train", n_train, seed, tile=tile,
+                   max_buildings=max_buildings)
+    generate_split(out_dir, "val", n_val, seed + 1, tile=tile,
+                   max_buildings=max_buildings)
     return out_dir
 
 
@@ -105,6 +110,10 @@ if __name__ == "__main__":
     parser.add_argument("--n-train", type=int, default=12)
     parser.add_argument("--n-val", type=int, default=6)
     parser.add_argument("--seed", type=int, default=7)
+    parser.add_argument("--max-buildings", type=int, default=6,
+                        help="per-tile cap; CrowdAI averages ~8 buildings "
+                             "per 300px tile, use ~20 for that density")
     args = parser.parse_args()
-    generate(args.out, args.n_train, args.n_val, args.seed)
+    generate(args.out, args.n_train, args.n_val, args.seed,
+             max_buildings=args.max_buildings)
     print(f"synthetic dataset written to {args.out}")
