@@ -454,17 +454,17 @@ class ScoringModelPipeline:
             annotations = [{}] * len(meta)
         # STREAMING fit: the reference forces stream mode on this pipeline
         # precisely so the whole prediction set is never materialized
-        # (src/pipelines.py:309, src/utils.py:392-413). Iterate the per-image
-        # generator and keep only the compact per-instance feature tables —
-        # at the default 10k-image sample the label maps alone would be
-        # ~70 GB of host RAM if collected first.
-        features = []
-        for ((labels, _), feats), anns in zip(
+        # (src/pipelines.py:309, src/utils.py:392-413). Images flow through
+        # the per-image generator and each image's feature tables compact to
+        # numpy inside fit_stream — neither the label maps (~70 GB at the
+        # default 10k sample) nor the 19-layers-per-image DataFrames
+        # (~2 GB of pandas overhead) are ever all live.
+        self.model.fit_stream(
+            features_from_tensor(feats, labels, anns,
+                                 category_layers=self.category_layers)
+            for ((labels, _), feats), anns in zip(
                 self.base._postprocessed_images(data, return_features=True),
-                annotations):
-            features.append(features_from_tensor(
-                feats, labels, anns, category_layers=self.category_layers))
-        self.model.fit(features)
+                annotations))
         os.makedirs(os.path.dirname(self.cache_path), exist_ok=True)
         self.model.save(self.cache_path)
         return {"scoring_model": self.model}

@@ -240,16 +240,6 @@ _FEATURE_COLUMNS = ["threshold", "area", "mean_prob", "max_prob", "bbox_ar",
                     "max_dist_to_border", "contour_length"]
 
 
-def _features_to_df(features) -> pd.DataFrame:
-    """Flatten image x non-background-layer tables (reference
-    _convert_features_to_df, src/models.py:457-462)."""
-    frames = []
-    for image_features in features:
-        for layer_features in image_features[1:]:
-            frames.append(layer_features)
-    return pd.concat(frames) if frames else pd.DataFrame()
-
-
 class _ScoringModelBase:
     """fit on the extracted features / predict per image x layer
     (reference ScoringLightGBM/-RandomForest, src/models.py:212-284)."""
@@ -261,13 +251,34 @@ class _ScoringModelBase:
         self.estimator = None
 
     def fit(self, features):
+        return self.fit_stream(iter(features))
+
+    def fit_stream(self, features_iter):
+        """Fit from an ITERATOR of per-image feature-table lists, compacting
+        each image's rows to numpy immediately. The scoring train path
+        streams images through the serve program (pipelines.py
+        ScoringModelPipeline.fit_transform); holding the per-layer
+        DataFrames themselves until one giant pd.concat
+        (the reference's _convert_features_to_df, src/models.py:457-462)
+        costs ~10 KB of pandas overhead per tiny frame — ~2 GB of pure
+        bookkeeping at the default 10k-image x 19-layer sample — where the
+        numeric payload is ~80 MB."""
         from sklearn.model_selection import train_test_split
 
-        df = _features_to_df(features)
-        df = df[df[self.target].notna()]
-        X = df[_FEATURE_COLUMNS].astype(np.float64).values
-        y = df[self.target].astype(np.float64).values
-        if len(df) < 4:
+        Xs, ys = [], []
+        for image_features in features_iter:
+            for layer_features in image_features[1:]:
+                if not len(layer_features):
+                    continue
+                lf = layer_features[layer_features[self.target].notna()]
+                if not len(lf):
+                    continue
+                Xs.append(lf[_FEATURE_COLUMNS].to_numpy(np.float64))
+                ys.append(lf[self.target].to_numpy(np.float64))
+        X = (np.concatenate(Xs) if Xs
+             else np.empty((0, len(_FEATURE_COLUMNS))))
+        y = np.concatenate(ys) if ys else np.empty((0,))
+        if len(y) < 4:
             X_train, y_train = X, y
             X_valid, y_valid = X, y
         else:

@@ -33,6 +33,44 @@ def test_valid_split_drives_early_stopping():
     assert m_bad.best_iteration_ <= 25  # stopped by the bogus valid signal
 
 
+def test_fit_stream_matches_list_fit():
+    """fit_stream (the scoring train path's compact-numpy accumulation)
+    must see exactly the rows list-fit sees, in the same order — the
+    train/valid split is seeded, so identical rows => identical estimator
+    predictions. Background layers (index 0) and NaN-target rows are
+    excluded by both."""
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    cols = ["threshold", "area", "mean_prob", "max_prob", "bbox_ar",
+            "bbox_area", "bbox_fill", "min_dist_to_border",
+            "max_dist_to_border", "contour_length"]
+
+    def frame(n, with_nan=False):
+        df = pd.DataFrame(rng.rand(n, len(cols)), columns=cols)
+        iou = rng.rand(n)
+        if with_nan and n:
+            iou[0] = np.nan
+        df.insert(0, "iou", iou)
+        return df
+
+    features = []
+    for i in range(30):
+        layers = [frame(0)]  # background layer, always skipped
+        for l in range(3):
+            layers.append(frame(rng.randint(0, 6), with_nan=(l == 1)))
+        features.append(layers)
+
+    m_list = _make_model(rounds=40)
+    m_list.fit(features)
+    m_stream = _make_model(rounds=40)
+    m_stream.fit_stream(iter(features))
+
+    Xq = rng.rand(20, len(cols))
+    np.testing.assert_array_equal(m_list.estimator.predict(Xq),
+                                  m_stream.estimator.predict(Xq))
+
+
 def test_min_data_maps_to_min_samples_leaf():
     from mapping_tpu.utils.native_gbm import NativeGBMRegressor
 
